@@ -1,0 +1,226 @@
+"""Configuration tree for the engine.
+
+TPU-native analog of the reference's ~100 mutable globals in
+``src/Settings.cc`` / ``include/Settings.h`` (reference: n-lalanne/LDSO).
+Everything is a frozen (hashable) dataclass so configs can be passed as
+``jax.jit`` static arguments; numeric state capacities live in
+:class:`Shapes` and are baked into traced shapes.
+
+Reference parity notes:
+  * the 8-point residual pattern mirrors ``staticPattern`` ("spread-8",
+    Settings.cc) — offsets around the host pixel used for every
+    photometric residual.
+  * SCALE_* constants mirror the reference's scaled state
+    parameterization used for conditioning of the Gauss-Newton system.
+  * default thresholds mirror ``setting_*`` defaults (SURVEY.md §5.6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+# ---------------------------------------------------------------------------
+# Residual pattern — reference: staticPattern[8] in src/Settings.cc
+# ---------------------------------------------------------------------------
+
+# "spread-8" pattern: (du, dv) offsets of the 8 residual samples.
+PATTERN: Tuple[Tuple[int, int], ...] = (
+    (0, -2), (-1, -1), (1, -1), (-2, 0),
+    (0, 0), (2, 0), (-1, 1), (0, 2),
+)
+PATTERN_NUM = len(PATTERN)          # = 8
+PATTERN_PADDING = 2                 # reference: patternPadding
+
+# ---------------------------------------------------------------------------
+# State scaling — reference: SCALE_* in include/Settings.h
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class Scales:
+    idepth: float = 1.0
+    xi_rot: float = 1.0
+    xi_trans: float = 0.5
+    f: float = 50.0
+    c: float = 50.0
+    a: float = 10.0
+    b: float = 1000.0
+
+
+@dataclasses.dataclass(frozen=True)
+class Shapes:
+    """Static capacities — every device array shape derives from these."""
+
+    pyr_levels: int = 5              # reference: PYR_LEVELS=6, pyrLevelsUsed≈5
+    max_frames: int = 8              # window slots (reference keeps ≤7 KFs)
+    max_points: int = 2048           # active point bank capacity
+    max_immature: int = 2048         # immature (candidate) point capacity
+    epi_samples: int = 64            # epipolar search discretization
+    track_points: int = 4096         # semi-dense tracker points per level (lvl0)
+    init_points: int = 1024          # two-frame initializer points (finest lvl)
+    init_neighbors: int = 10         # k-NN regularizer graph degree
+    num_hypotheses: int = 27         # tracker motion hypotheses (vmapped)
+
+    @property
+    def state_dim(self) -> int:
+        """Dimension of the reduced camera system: 8 per frame + 4 intrinsics."""
+        return 8 * self.max_frames + 4
+
+
+@dataclasses.dataclass(frozen=True)
+class SelectorConfig:
+    """Pixel selection — reference: PixelSelector2.cc."""
+
+    block: int = 32                  # gradient-histogram block size
+    min_grad_hist_cut: float = 0.5   # setting_minGradHistCut
+    min_grad_hist_add: float = 7.0   # setting_minGradHistAdd
+    grad_down_weight_per_level: float = 0.75  # setting_gradDownweightPerLevel
+    desired_immature_density: float = 1500.0  # setting_desiredImmatureDensity
+    desired_point_density: float = 2000.0     # setting_desiredPointDensity
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """Frame-to-keyframe direct alignment — reference: CoarseTracker.cc."""
+
+    coarse_cutoff_th: float = 20.0   # setting_coarseCutoffTH
+    max_iterations: Tuple[int, ...] = (10, 20, 50, 50, 50)  # per level, fine→coarse
+    huber_th: float = 9.0            # setting_huberTH
+    lambda_initial: float = 0.01
+    lambda_success: float = 0.5      # multiply on accepted step
+    lambda_fail: float = 4.0         # multiply on rejected step
+    step_eps: float = 1e-6           # convergence: |inc| below this → break
+    # keyframe decision weights — reference: setting_kfGlobalWeight &
+    # setting_maxShiftWeight{T,R,RT}, setting_maxAffineWeight
+    kf_global_weight: float = 1.0
+    max_shift_weight_t: float = 0.04
+    max_shift_weight_r: float = 0.0
+    max_shift_weight_rt: float = 0.02
+    max_affine_weight: float = 2.0
+
+
+@dataclasses.dataclass(frozen=True)
+class BAConfig:
+    """Sliding-window photometric bundle adjustment — reference:
+    src/internal/OptimizationBackend/EnergyFunctional.cc and FullSystem::optimize."""
+
+    max_iterations: int = 6          # setting_maxOptIterations
+    min_iterations: int = 1          # setting_minOptIterations
+    huber_th: float = 9.0            # setting_huberTH
+    outlier_th: float = 144.0        # setting_outlierTH (12^2) per-pattern-point energy
+    outlier_th_sum_component: float = 50.0 * 50.0  # setting_outlierTHSumComponent
+    lambda_initial: float = 1e-5
+    min_idepth_hessian: float = 100.0  # activation/marginalization gate (idepth well-constrained)
+    min_rel_baseline: float = 0.4      # maxRelBaseline gate for marginalizing vs dropping
+    # priors — reference: setting_initialTransPrior etc. applied to first KF / camera
+    intrinsics_prior: float = 1e6      # soft prior pinning fx fy cx cy near calib
+    first_frame_prior: float = 1e10    # gauge fix on first KF pose
+    affine_prior_a: float = 1e3        # setting_affineOptModeA (λ prior on a)
+    affine_prior_b: float = 1e1        # setting_affineOptModeB (λ prior on b)
+    step_break_th: float = 1e-4        # "canbreak" increment threshold
+
+
+@dataclasses.dataclass(frozen=True)
+class TraceConfig:
+    """Immature-point epipolar tracing — reference: ImmaturePoint::traceOn."""
+
+    max_pix_search_frac: float = 0.027   # setting_maxPixSearch · (w+h)
+    trace_slack_interval: float = 1.5    # accepted interval half-width (px)
+    extra_slack: float = 0.1             # setting_trace_extraSlackOnTH
+    gn_iterations: int = 3               # subpixel refine steps
+    gn_threshold: float = 0.1
+    min_quality: float = 3.0             # best/second-best SSD ratio gate (minTraceQuality)
+    step_size: float = 1.0               # sample spacing along epipolar line (px)
+
+
+@dataclasses.dataclass(frozen=True)
+class WindowConfig:
+    """Keyframe window management — reference: FullSystem::flagFramesForMarginalization."""
+
+    max_kf: int = 7                  # setting_maxFrames
+    min_kf: int = 5                  # setting_minFrames
+    min_inlier_visible_frac: float = 0.05  # drop KF if <5% points visible
+    max_log_aff_fac: float = 0.7     # setting_maxLogAffFacInWindow
+
+
+@dataclasses.dataclass(frozen=True)
+class InitConfig:
+    """Two-frame monocular bootstrap — reference: CoarseInitializer.cc."""
+
+    max_iterations: Tuple[int, ...] = (50, 50, 100, 100, 100)  # fine→coarse
+    coupling_weight: float = 1.0     # neighbor idepth smoothness (couplingWeight)
+    alpha_k: float = 2.5e5           # alphaK — parallax snap energy scale
+    alpha_w: float = 150.0 * 150.0   # alphaW — idepth-to-1 prior weight pre-snap
+    reg_weight: float = 0.8          # regWeight — iR smoothing blend
+    min_snap_frames: int = 5         # frames tracked after snap before init accepted
+    huber_th: float = 9.0
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopConfig:
+    """Loop detection + Sim(3) constraints — reference: LoopClosing.cc, Map.cc."""
+
+    enabled: bool = True             # setting_enableLoopClosing
+    min_score_rel: float = 0.75      # candidate score vs covisible-neighbor min score
+    min_kf_gap: int = 15             # skip recent KFs
+    consistency_window: int = 3      # temporal-consistency votes
+    min_matches: int = 20            # feature matches to attempt geometric check
+    min_inliers: int = 15            # RANSAC/refine inlier gate
+    ransac_hypotheses: int = 256     # batched P3P hypotheses
+    ransac_threshold: float = 5.0    # reprojection inlier threshold (px)
+    sim3_iterations: int = 10        # Sim3 GN refine iterations
+    pgo_iterations: int = 25         # global pose-graph LM iterations
+    max_features: int = 512          # ORB features per keyframe
+    orb_fast_th: float = 20.0        # FAST corner threshold
+    max_edges_per_kf: int = 8        # odometry+covisibility edges retained per KF
+
+
+@dataclasses.dataclass(frozen=True)
+class LdsoConfig:
+    """Top-level config tree (hashable → usable as a jit static arg)."""
+
+    shapes: Shapes = Shapes()
+    scales: Scales = Scales()
+    selector: SelectorConfig = SelectorConfig()
+    tracker: TrackerConfig = TrackerConfig()
+    ba: BAConfig = BAConfig()
+    trace: TraceConfig = TraceConfig()
+    window: WindowConfig = WindowConfig()
+    init: InitConfig = InitConfig()
+    loop: LoopConfig = LoopConfig()
+    seed: int = 0
+
+    def replace(self, **kw) -> "LdsoConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def preset(name: str = "default") -> LdsoConfig:
+    """Presets mirroring the reference's ``preset=0..3`` tables
+    (examples/run_dso_*.cc: settingsDefault)."""
+    base = LdsoConfig()
+    if name in ("default", "0"):
+        return base
+    if name in ("realtime", "1"):
+        return base
+    if name in ("fast", "2", "3"):
+        return base.replace(
+            shapes=dataclasses.replace(base.shapes, max_points=800, max_immature=1024),
+            selector=dataclasses.replace(
+                base.selector,
+                desired_immature_density=600.0,
+                desired_point_density=800.0,
+            ),
+            ba=dataclasses.replace(base.ba, max_iterations=4),
+            window=dataclasses.replace(base.window, max_kf=6),
+        )
+    if name == "tiny":  # for tests: small capacities, fast compiles
+        return base.replace(
+            shapes=Shapes(
+                pyr_levels=4, max_frames=5, max_points=256, max_immature=256,
+                epi_samples=32, track_points=512, init_points=256,
+                init_neighbors=5, num_hypotheses=5,
+            ),
+            window=dataclasses.replace(base.window, max_kf=4, min_kf=3),
+        )
+    raise ValueError(f"unknown preset {name!r}")
