@@ -1,0 +1,88 @@
+"""Trajectory evaluation: Umeyama alignment + ATE RMSE.
+
+The reference exports TUM-format trajectories (FullSystem::printResult,
+reference: n-lalanne/LDSO src/frontend/FullSystem.cc) and relies on
+external tools (TUM monoVO scripts / evo) for ATE. Here evaluation is
+built in (SURVEY.md §5.5) so CI and BASELINE reporting are self-contained.
+
+Monocular trajectories are aligned with a similarity transform
+(Sim(3) Umeyama — scale is unobservable) before computing RMSE.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def umeyama(src: np.ndarray, dst: np.ndarray, with_scale: bool = True):
+    """Least-squares similarity transform: dst ≈ s·R·src + t.
+
+    src, dst: [N, 3]. Returns (s, R [3,3], t [3])."""
+    mu_s = src.mean(axis=0)
+    mu_d = dst.mean(axis=0)
+    xs = src - mu_s
+    xd = dst - mu_d
+    cov = xd.T @ xs / src.shape[0]
+    U, D, Vt = np.linalg.svd(cov)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+        S[2, 2] = -1.0
+    R = U @ S @ Vt
+    if with_scale:
+        var_s = (xs ** 2).sum() / src.shape[0]
+        s = float(np.trace(np.diag(D) @ S) / max(var_s, 1e-12))
+    else:
+        s = 1.0
+    t = mu_d - s * R @ mu_s
+    return s, R, t
+
+
+def ate_rmse(
+    est_positions: np.ndarray,
+    gt_positions: np.ndarray,
+    with_scale: bool = True,
+) -> Tuple[float, np.ndarray]:
+    """Absolute trajectory error after Sim(3) (or SE(3)) alignment.
+
+    est_positions, gt_positions: [N, 3] matched by index.
+    Returns (rmse, per-frame residual norms)."""
+    assert est_positions.shape == gt_positions.shape
+    s, R, t = umeyama(est_positions, gt_positions, with_scale)
+    aligned = (s * (R @ est_positions.T)).T + t
+    err = np.linalg.norm(aligned - gt_positions, axis=1)
+    return float(np.sqrt((err ** 2).mean())), err
+
+
+def write_tum_trajectory(path: str, timestamps, poses_c_w: np.ndarray):
+    """TUM format: ``timestamp tx ty tz qx qy qz qw`` of camera-to-world
+    (inverted from the engine's world-to-camera), matching
+    FullSystem::printResult output for downstream evo-style tooling."""
+    from ldso_tpu.math import lie
+    import jax.numpy as jnp
+
+    with open(path, "w") as f:
+        for ts, Tcw in zip(timestamps, poses_c_w):
+            Twc = np.linalg.inv(Tcw)
+            q = np.asarray(lie.matrix_to_quat(jnp.asarray(Twc[:3, :3])))
+            t = Twc[:3, 3]
+            f.write(
+                f"{ts:.6f} {t[0]:.6f} {t[1]:.6f} {t[2]:.6f} "
+                f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n"
+            )
+
+
+def read_tum_trajectory(path: str):
+    """Returns (timestamps [N], positions [N, 3], quats [N, 4] xyzw)."""
+    ts, pos, quat = [], [], []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            vals = [float(x) for x in line.split()]
+            ts.append(vals[0])
+            pos.append(vals[1:4])
+            quat.append(vals[4:8])
+    return np.asarray(ts), np.asarray(pos), np.asarray(quat)

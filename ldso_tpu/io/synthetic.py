@@ -1,0 +1,236 @@
+"""Synthetic textured scenes with exact ground truth.
+
+The reference has no tests (SURVEY.md §4); its de-facto strategy is
+trajectory quality on real datasets. This module supplies what the
+reference lacks and what CI here is built on: analytically rendered
+multi-plane scenes with known camera trajectories, exact inverse-depth
+maps, and optional photometric perturbations (response / vignette /
+exposure), so every stage — tracker, initializer, tracer, BA, loop — can
+be tested against ground truth without any dataset on disk.
+
+World frame: standard CV camera at identity has x right, y down,
+z forward. The scene is a "corridor": ground plane below, two side
+walls, a backdrop — all value-noise textured.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Value-noise textures
+# ---------------------------------------------------------------------------
+
+
+def _resize_bilinear(a: np.ndarray, size: int) -> np.ndarray:
+    n = a.shape[0]
+    x = np.linspace(0, n - 1, size)
+    x0 = np.floor(x).astype(int)
+    x1 = np.minimum(x0 + 1, n - 1)
+    fx = x - x0
+    rows = a[x0][:, x0] * ((1 - fx)[:, None] * (1 - fx)[None, :])
+    rows += a[x1][:, x0] * (fx[:, None] * (1 - fx)[None, :])
+    rows += a[x0][:, x1] * ((1 - fx)[:, None] * fx[None, :])
+    rows += a[x1][:, x1] * (fx[:, None] * fx[None, :])
+    return rows
+
+
+def value_noise_texture(rng: np.random.Generator, size: int = 512, octaves: int = 5) -> np.ndarray:
+    """Smooth multi-octave noise in [~20, ~235] — rich, trackable gradients."""
+    tex = np.zeros((size, size))
+    amp = 1.0
+    total = 0.0
+    for o in range(octaves):
+        n = 8 << o
+        tex += amp * _resize_bilinear(rng.standard_normal((n, n)), size)
+        total += amp
+        amp *= 0.55
+    tex /= total
+    tex = (tex - tex.min()) / (tex.max() - tex.min())
+    return (20.0 + 215.0 * tex).astype(np.float32)
+
+
+def _sample_wrap(tex: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    t = tex.shape[0]
+    u0 = np.floor(u).astype(int)
+    v0 = np.floor(v).astype(int)
+    fu = u - u0
+    fv = v - v0
+    u0 %= t
+    v0 %= t
+    u1 = (u0 + 1) % t
+    v1 = (v0 + 1) % t
+    return (
+        tex[v0, u0] * (1 - fu) * (1 - fv)
+        + tex[v0, u1] * fu * (1 - fv)
+        + tex[v1, u0] * (1 - fu) * fv
+        + tex[v1, u1] * fu * fv
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scene = a set of textured planes
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Plane:
+    normal: np.ndarray        # [3], unit, points toward visible side
+    offset: float             # plane: normal·X = offset
+    e1: np.ndarray            # [3] texture axis 1 (world units per texel via scale)
+    e2: np.ndarray            # [3] texture axis 2
+    tex: np.ndarray           # [T, T] f32
+    tex_scale: float = 0.02   # world units per texel
+
+
+@dataclasses.dataclass
+class SyntheticScene:
+    planes: List[Plane]
+
+    def render(self, T_wc: np.ndarray, intr, w: int, h: int):
+        """Render from camera-to-world pose T_wc; returns (img [H,W] f32,
+        idepth [H,W] f32) — idepth is exact inverse depth in camera frame."""
+        fx, fy, cx, cy = (float(x) for x in intr)
+        u, v = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
+        dirs_c = np.stack([(u - cx) / fx, (v - cy) / fy, np.ones_like(u)], axis=-1)  # [H,W,3]
+        R = T_wc[:3, :3]
+        o = T_wc[:3, 3]
+        dirs_w = dirs_c @ R.T
+
+        best_t = np.full((h, w), np.inf)
+        img = np.zeros((h, w), dtype=np.float32)
+        for p in self.planes:
+            denom = dirs_w @ p.normal
+            t = (p.offset - o @ p.normal) / np.where(np.abs(denom) < 1e-12, 1e-12, denom)
+            hit = (t > 0.05) & (t < best_t)
+            X = o[None, None, :] + t[..., None] * dirs_w
+            tu = (X @ p.e1) / p.tex_scale
+            tv = (X @ p.e2) / p.tex_scale
+            col = _sample_wrap(p.tex, tu, tv).astype(np.float32)
+            img = np.where(hit, col, img)
+            best_t = np.where(hit, t, best_t)
+        # camera-frame depth = t * (z-component of dir in camera frame) = t * 1
+        idepth = np.where(np.isfinite(best_t), 1.0 / best_t, 0.0).astype(np.float32)
+        return img, idepth
+
+
+def make_scene(seed: int = 0, kind: str = "corridor") -> SyntheticScene:
+    rng = np.random.default_rng(seed)
+    ex = np.array([1.0, 0, 0])
+    ey = np.array([0, 1.0, 0])
+    ez = np.array([0, 0, 1.0])
+    if kind == "corridor":
+        planes = [
+            Plane(-ey, -1.5, ex, ez, value_noise_texture(rng)),        # ground y=+1.5
+            Plane(ex, -3.0, ey, ez, value_noise_texture(rng)),         # left wall x=-3
+            Plane(-ex, -3.0, ey, ez, value_noise_texture(rng)),        # right wall x=+3
+            Plane(-ez, -20.0, ex, ey, value_noise_texture(rng), 0.05), # backdrop z=20
+        ]
+    elif kind == "wall":
+        planes = [Plane(-ez, -3.0, ex, ey, value_noise_texture(rng))]  # single wall z=3
+    else:
+        raise ValueError(kind)
+    return SyntheticScene(planes)
+
+
+# ---------------------------------------------------------------------------
+# Trajectories (camera-to-world)
+# ---------------------------------------------------------------------------
+
+
+def trajectory(n: int, kind: str = "forward_arc", step: float = 0.06) -> np.ndarray:
+    """[N, 4, 4] camera-to-world poses."""
+    from ldso_tpu.math import lie  # local import: numpy-only module otherwise
+    import jax.numpy as jnp
+
+    Ts = []
+    for i in range(n):
+        s = i * step
+        if kind == "forward_arc":
+            t = np.array([0.35 * np.sin(0.25 * s * 2 * np.pi / 3), 0.1 * np.sin(0.15 * i), s])
+            yaw = 0.04 * np.sin(0.1 * i)
+            pitch = 0.02 * np.sin(0.13 * i + 1.0)
+            xi = np.concatenate([np.zeros(3), [pitch, yaw, 0.0]])
+            R = np.asarray(lie.so3_exp(jnp.asarray(xi[3:])))
+        elif kind == "lateral":
+            t = np.array([s, 0.0, 0.02 * i])
+            R = np.eye(3)
+        elif kind == "loop":  # closes back near the start (for loop-closure tests)
+            th = 2 * np.pi * i / n
+            rad = 2.0
+            t = np.array([rad * np.sin(th), 0.0, rad * (1 - np.cos(th))])
+            R = np.asarray(lie.so3_exp(jnp.asarray([0.0, th, 0.0])))
+        else:
+            raise ValueError(kind)
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = t
+        Ts.append(T)
+    return np.stack(Ts)
+
+
+# ---------------------------------------------------------------------------
+# Dataset-reader-compatible wrapper
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class SyntheticDataset:
+    """Implements the common reader protocol (see ldso_tpu/io/datasets.py):
+    num_frames, get_image(i) -> (img f32 [H,W], timestamp, exposure), calib.
+    Also exposes ground truth for tests: poses_w_c [N,4,4], idepth maps."""
+
+    w: int = 512
+    h: int = 384
+    n: int = 60
+    fov_focal: float = 450.0
+    seed: int = 0
+    scene_kind: str = "corridor"
+    traj_kind: str = "forward_arc"
+    exposure_wobble: bool = False
+    cache: bool = True
+
+    def __post_init__(self):
+        from ldso_tpu import cameras
+
+        self.scene = make_scene(self.seed, self.scene_kind)
+        self.poses_w_c = trajectory(self.n, self.traj_kind)
+        self.calib = cameras.pinhole_calib(
+            self.w, self.h, self.fov_focal, self.fov_focal, self.w / 2 - 0.5, self.h / 2 - 0.5
+        )
+        self._rng = np.random.default_rng(self.seed + 1)
+        self._exposures = (
+            1.0 + 0.3 * np.sin(0.3 * np.arange(self.n)) if self.exposure_wobble else np.ones(self.n)
+        )
+        self._cache = {}
+
+    @property
+    def num_frames(self) -> int:
+        return self.n
+
+    def intrinsics(self):
+        return np.asarray(self.calib.out_intr, dtype=np.float32)
+
+    def get_image(self, i: int):
+        if self.cache and i in self._cache:
+            img = self._cache[i][0]
+        else:
+            img, idep = self.scene.render(self.poses_w_c[i], self.calib.out_intr, self.w, self.h)
+            img = img * self._exposures[i]
+            if self.cache:
+                self._cache[i] = (img, idep)
+        return img, float(i) * 0.05, float(self._exposures[i])
+
+    def get_idepth(self, i: int) -> np.ndarray:
+        if self.cache and i in self._cache:
+            return self._cache[i][1]
+        _, idep = self.scene.render(self.poses_w_c[i], self.calib.out_intr, self.w, self.h)
+        return idep
+
+    def gt_pose_c_w(self, i: int) -> np.ndarray:
+        """world-to-camera (Tcw, the engine's internal convention)."""
+        return np.linalg.inv(self.poses_w_c[i])
