@@ -1,0 +1,253 @@
+"""Gauss-Newton solve of the reduced camera system + idepth backsubstitution.
+
+TPU-native redesign of the reference's ``EnergyFunctional::solveSystemF``
+and ``resubstituteF_MT`` (reference: n-lalanne/LDSO
+src/internal/OptimizationBackend/EnergyFunctional.cc): the landmark
+(inverse-depth) blocks are eliminated per point by Schur complement —
+embarrassingly parallel, one matmul ``H_xdᵀ·diag(1/H_dd)·H_xd`` — the
+tiny (8F+4)² damped system is solved densely on device, gauge
+nullspaces are projected out of the step, and idepth increments come
+back by per-point backsubstitution.
+
+Step control mirrors the reference's DEFAULTS: ``setting_forceAceptStep
+= true`` with a small fixed λ (SOLVER_FIX_LAMBDA) — GN steps are applied
+unconditionally and iteration stops on small increments; the
+energy-reject/λ-ladder path exists behind ``force_accept=False``.
+Gauge handling: the anchor keyframe's pose is HARD-fixed (cleaner than
+the reference's 1e10 soft prior, same effect), and the residual scale
+gauge (scaling about the anchor camera center, which a fixed anchor does
+NOT pin in monocular) is projected out of the step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldso_tpu.config import LdsoConfig
+from ldso_tpu.core.window import Window, state_delta
+from ldso_tpu.ba.residuals import BASystem, assemble, energy_only
+from ldso_tpu.math import lie
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def scale_vector(F: int, scales) -> np.ndarray:
+    """Per-state-dimension scale factors (reference: SCALE_XI_TRANS etc.)."""
+    per_frame = np.asarray(
+        [scales.xi_trans] * 3 + [scales.xi_rot] * 3 + [scales.a, scales.b],
+        dtype=np.float32,
+    )
+    cam = np.asarray([scales.f, scales.f, scales.c, scales.c], dtype=np.float32)
+    return np.concatenate([np.tile(per_frame, F), cam])
+
+
+def prior_diag(win_valid: np.ndarray, cfg: LdsoConfig) -> np.ndarray:
+    """Diagonal prior (reference: FrameHessian::getPrior + CalibHessian
+    prior): affine λ-priors per frame + soft intrinsics prior. Invalid
+    slots get unit diagonal so the system stays invertible."""
+    F = win_valid.shape[0]
+    D = 8 * F + 4
+    d = np.zeros(D, dtype=np.float32)
+    for i in range(F):
+        if not win_valid[i]:
+            d[8 * i : 8 * i + 8] = 1.0
+            continue
+        d[8 * i + 6] = cfg.ba.affine_prior_a
+        d[8 * i + 7] = cfg.ba.affine_prior_b
+    d[8 * F :] = cfg.ba.intrinsics_prior
+    return d
+
+
+def fix_mask(F: int, anchor_slot: int) -> np.ndarray:
+    """[D] bool: state dims hard-fixed in the solve (the gauge anchor's pose)."""
+    D = 8 * F + 4
+    m = np.zeros(D, dtype=bool)
+    if anchor_slot >= 0:
+        m[8 * anchor_slot : 8 * anchor_slot + 6] = True
+    return m
+
+
+def scale_nullspace(win: Window, anchor_slot: int) -> jnp.ndarray:
+    """[D] the remaining scale-gauge direction with a fixed anchor:
+    scaling the world about the ANCHOR's camera center leaves the anchor
+    pose invariant while every other translation moves by
+    −R_i(C_i − C_anchor) = t_i + R_i·C_anchor."""
+    F = win.num_frames
+    D = 8 * F + 4
+    R = lie.rotation(win.T_eval)
+    t = lie.translation(win.T_eval)
+    slot = max(anchor_slot, 0)
+    C0 = -jnp.einsum("ji,j->i", R[slot], t[slot], precision=_HI)  # anchor center
+    rows = t + jnp.einsum("fij,j->fi", R, C0, precision=_HI)      # [F, 3]
+    N = jnp.zeros(D, dtype=win.x.dtype)
+    for i in range(F):
+        N = N.at[8 * i : 8 * i + 3].set(
+            jnp.where(win.frame_valid[i] & (i != slot), rows[i], jnp.zeros(3))
+        )
+    return N
+
+
+@jax.jit
+def _solve_core(
+    sys_H, sys_b, sys_Hxd, sys_Hdd, sys_bd,
+    HM, bM, delta, prior_d, scale_vec, fixed, N_scale, lam, p_valid,
+):
+    """One damped GN solve: returns (dx [D], dd [P])."""
+    # total gradient/Hessian at current state (prior shifted by delta)
+    b = sys_b + bM + jnp.matmul(HM, delta, precision=_HI) + prior_d * delta
+    H = sys_H + HM + jnp.diag(prior_d)
+
+    # Schur complement of idepths with damped H_dd
+    Hdd_damped = (sys_Hdd * (1.0 + lam)) + 1e-10
+    active = p_valid & (sys_Hdd > 1e-10)
+    inv_dd = jnp.where(active, 1.0 / Hdd_damped, 0.0)
+    H_sc = jnp.matmul(sys_Hxd.T, sys_Hxd * inv_dd[:, None], precision=_HI)
+    b_sc = jnp.matmul(sys_Hxd.T, sys_bd * inv_dd, precision=_HI)
+
+    D = H.shape[0]
+    H_f = H.at[jnp.arange(D), jnp.arange(D)].multiply(1.0 + lam) - H_sc
+    b_f = b - b_sc
+
+    # hard-fix gauge anchor dims: identity rows/cols, zero gradient
+    H_f = jnp.where(fixed[:, None] | fixed[None, :], 0.0, H_f)
+    H_f = H_f.at[jnp.arange(D), jnp.arange(D)].add(jnp.where(fixed, 1.0, 0.0))
+    b_f = jnp.where(fixed, 0.0, b_f)
+
+    # scaled + Jacobi-preconditioned dense solve
+    S = scale_vec
+    Hs = H_f * S[:, None] * S[None, :]
+    bs = b_f * S
+    pc = 1.0 / jnp.sqrt(jnp.diag(Hs) + 10.0)
+    Hp = Hs * pc[:, None] * pc[None, :]
+    bp = bs * pc
+    y = jnp.linalg.solve(Hp, bp)
+    dx = -(S * pc * y)
+
+    # project the residual scale-gauge direction out of the step
+    n2 = jnp.dot(N_scale, N_scale)
+    coef = jnp.where(n2 > 1e-8, jnp.dot(N_scale, dx) / jnp.maximum(n2, 1e-8), 0.0)
+    dx = dx - coef * N_scale
+    dx = jnp.where(fixed, 0.0, dx)
+
+    # backsubstitution for idepths
+    dd = jnp.where(
+        active,
+        -(sys_bd + jnp.matmul(sys_Hxd, dx, precision=_HI)) * inv_dd,
+        0.0,
+    )
+    return dx, dd
+
+
+@jax.jit
+def apply_step(win: Window, dx, dd) -> Window:
+    """Additive update in the FEJ tangent chart (the state IS the tangent
+    from T_eval, so addition is the consistent update — reference:
+    doStepFromBackup's setState(backup + step))."""
+    F = win.num_frames
+    dxf = dx[: 8 * F].reshape(F, 8)
+    dc = dx[8 * F :]
+    new_id = jnp.clip(win.p_idepth + dd, 1e-5, 50.0)
+    return win._replace(
+        x=win.x + jnp.where(win.frame_valid[:, None], dxf, 0.0),
+        c=win.c + dc,
+        p_idepth=jnp.where(win.p_valid, new_id, win.p_idepth),
+    )
+
+
+class BAStats(NamedTuple):
+    iterations: int
+    energy_initial: float
+    energy_final: float
+    num_residuals: int
+    lam_final: float
+
+
+def run_ba(
+    win: Window,
+    HM: np.ndarray,               # [D, D] f64 marginalization prior (host)
+    bM: np.ndarray,               # [D] f64
+    cfg: LdsoConfig,
+    anchor_slot: int = 0,         # gauge-fixed slot (oldest KF in window)
+    force_accept: bool = True,    # reference default: setting_forceAceptStep
+) -> Tuple[Window, BAStats]:
+    """Host-driven Gauss-Newton loop (reference: FullSystem::optimize).
+
+    Device work per iteration: one assemble + one solve (+ an energy
+    evaluation in reject mode). λ fixed small in force-accept mode."""
+    F = win.num_frames
+    valid = np.asarray(win.frame_valid)
+    p_diag = jnp.asarray(prior_diag(valid, cfg))
+    s_vec = jnp.asarray(scale_vector(F, cfg.scales))
+    fixed = jnp.asarray(fix_mask(F, anchor_slot))
+    HM_j = jnp.asarray(HM, dtype=jnp.float32)
+    bM_j = jnp.asarray(bM, dtype=jnp.float32)
+
+    huber = cfg.ba.huber_th
+    osum = cfg.ba.outlier_th_sum_component
+
+    def total_energy(photo_E, w):
+        delta = state_delta(w)
+        e_prior = float(
+            jnp.dot(delta, bM_j)
+            + 0.5 * jnp.dot(delta, jnp.matmul(HM_j, delta))
+            + 0.5 * jnp.sum(p_diag * delta * delta)
+        )
+        return float(photo_E) + e_prior
+
+    sys = assemble(win, huber_th=huber, outlier_sum=osum)
+    E = total_energy(sys.energy, win)
+    E0 = E
+    lam = cfg.ba.lambda_initial
+    n_iter = 0
+
+    for it in range(cfg.ba.max_iterations):
+        n_iter = it + 1
+        N_scale = scale_nullspace(win, anchor_slot)
+        dx, dd = _solve_core(
+            sys.H, sys.b, sys.H_xd, sys.H_dd, sys.b_d,
+            HM_j, bM_j, state_delta(win), p_diag,
+            s_vec, fixed, N_scale, jnp.float32(lam), win.p_valid,
+        )
+        win_try = apply_step(win, dx, dd)
+        step_size = float(jnp.max(jnp.abs(dx)))
+
+        if force_accept:
+            win = win_try
+            sys = assemble(win, huber_th=huber, outlier_sum=osum)
+            E = total_energy(sys.energy, win)
+        else:
+            E_photo_try, _ = energy_only(win_try, huber_th=huber, outlier_sum=osum)
+            E_try = total_energy(E_photo_try, win_try)
+            if np.isfinite(E_try) and E_try < E:
+                win = win_try
+                lam = max(lam * 0.25, 1e-7)
+                sys = assemble(win, huber_th=huber, outlier_sum=osum)
+                E = total_energy(sys.energy, win)
+            else:
+                lam = lam * 4.0
+                if lam > 1e2:
+                    break
+                continue
+
+        if step_size < cfg.ba.step_break_th and it + 1 >= cfg.ba.min_iterations:
+            break
+
+    # final pass: refresh residual activity (drop OOB / gross outliers) —
+    # reference: FullSystem::optimize tail -> removeOutliers / resetOOB
+    outlier_pair = sys.e_pair > (cfg.ba.outlier_th * 8.0)
+    new_mask = win.res_mask & ~sys.oob_pair & ~outlier_pair
+    win = win._replace(res_mask=new_mask)
+
+    stats = BAStats(
+        iterations=n_iter,
+        energy_initial=float(E0),
+        energy_final=float(E),
+        num_residuals=int(sys.num_res),
+        lam_final=float(lam),
+    )
+    return win, stats

@@ -40,7 +40,12 @@ def _resize_bilinear(a: np.ndarray, size: int) -> np.ndarray:
 
 
 def value_noise_texture(rng: np.random.Generator, size: int = 512, octaves: int = 5) -> np.ndarray:
-    """Smooth multi-octave noise in [~20, ~235] — rich, trackable gradients."""
+    """Smooth multi-octave noise in [~20, ~235] — rich, trackable gradients.
+
+    A final box blur removes the C1 kinks of bilinear texel interpolation:
+    direct photometric methods assume optically blurred (locally smooth)
+    image formation, and the analytic gradient channels are only a valid
+    local model on such images."""
     tex = np.zeros((size, size))
     amp = 1.0
     total = 0.0
@@ -50,6 +55,13 @@ def value_noise_texture(rng: np.random.Generator, size: int = 512, octaves: int 
         total += amp
         amp *= 0.55
     tex /= total
+    for _ in range(2):
+        tex = 0.25 * tex + 0.125 * (
+            np.roll(tex, 1, 0) + np.roll(tex, -1, 0) + np.roll(tex, 1, 1) + np.roll(tex, -1, 1)
+        ) + 0.0625 * (
+            np.roll(np.roll(tex, 1, 0), 1, 1) + np.roll(np.roll(tex, 1, 0), -1, 1)
+            + np.roll(np.roll(tex, -1, 0), 1, 1) + np.roll(np.roll(tex, -1, 0), -1, 1)
+        )
     tex = (tex - tex.min()) / (tex.max() - tex.min())
     return (20.0 + 215.0 * tex).astype(np.float32)
 
@@ -91,9 +103,25 @@ class Plane:
 class SyntheticScene:
     planes: List[Plane]
 
-    def render(self, T_wc: np.ndarray, intr, w: int, h: int):
+    def render(self, T_wc: np.ndarray, intr, w: int, h: int, supersample: int = 2):
         """Render from camera-to-world pose T_wc; returns (img [H,W] f32,
-        idepth [H,W] f32) — idepth is exact inverse depth in camera frame."""
+        idepth [H,W] f32) — idepth is exact inverse depth in camera frame.
+
+        supersample > 1 renders at higher resolution and box-filters down
+        (models sensor integration; without it texture aliasing puts a
+        multi-grey-level noise floor under every photometric residual)."""
+        if supersample > 1:
+            s = supersample
+            fx, fy, cx, cy = (float(x) for x in intr)
+            intr_ss = (fx * s, fy * s, (cx + 0.5) * s - 0.5, (cy + 0.5) * s - 0.5)
+            img_ss, idep_ss = self.render(T_wc, intr_ss, w * s, h * s, supersample=1)
+            img = img_ss.reshape(h, s, w, s).mean(axis=(1, 3))
+            # inverse depth of the pixel center (exact, not averaged)
+            idep = idep_ss[s // 2 :: s, s // 2 :: s] if s % 2 == 1 else None
+            if idep is None:
+                # even supersample: recompute exact center depths at native res
+                _, idep = self.render(T_wc, intr, w, h, supersample=1)
+            return img.astype(np.float32), idep
         fx, fy, cx, cy = (float(x) for x in intr)
         u, v = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
         dirs_c = np.stack([(u - cx) / fx, (v - cy) / fy, np.ones_like(u)], axis=-1)  # [H,W,3]
@@ -187,7 +215,7 @@ class SyntheticDataset:
     w: int = 512
     h: int = 384
     n: int = 60
-    fov_focal: float = 450.0
+    fov_focal: float = 0.0    # 0 => 0.88·w (~59° horizontal FOV at any size)
     seed: int = 0
     scene_kind: str = "corridor"
     traj_kind: str = "forward_arc"
@@ -199,8 +227,9 @@ class SyntheticDataset:
 
         self.scene = make_scene(self.seed, self.scene_kind)
         self.poses_w_c = trajectory(self.n, self.traj_kind)
+        f = self.fov_focal if self.fov_focal > 0 else 0.88 * self.w
         self.calib = cameras.pinhole_calib(
-            self.w, self.h, self.fov_focal, self.fov_focal, self.w / 2 - 0.5, self.h / 2 - 0.5
+            self.w, self.h, f, f, self.w / 2 - 0.5, self.h / 2 - 0.5
         )
         self._rng = np.random.default_rng(self.seed + 1)
         self._exposures = (
