@@ -150,7 +150,7 @@ class InitConfig:
 
     max_iterations: Tuple[int, ...] = (50, 50, 100, 100, 100)  # fine→coarse
     coupling_weight: float = 1.0     # neighbor idepth smoothness (couplingWeight)
-    alpha_k: float = 2.5e5           # alphaK — parallax snap energy scale
+    alpha_k: float = 2.5 * 2.5       # alphaK — parallax snap energy scale (snap at ~1.7% translation)
     alpha_w: float = 150.0 * 150.0   # alphaW — idepth-to-1 prior weight pre-snap
     reg_weight: float = 0.8          # regWeight — iR smoothing blend
     min_snap_frames: int = 5         # frames tracked after snap before init accepted

@@ -1,0 +1,234 @@
+"""Immature-point epipolar depth tracing.
+
+TPU-native redesign of the reference's ``ImmaturePoint::traceOn``
+(reference: n-lalanne/LDSO src/internal/ImmaturePoint.cc): for every
+candidate point, search its inverse-depth interval's epipolar segment in
+a new frame with the 8-pattern SSD, refine sub-pixel with a few GN steps
+along the line, shrink [idepth_min, idepth_max], and classify
+GOOD / OOB / OUTLIER / SKIPPED / BADCONDITION.
+
+The reference traces points one by one with a dynamic number of line
+samples (≤100); here every immature point evaluates a FIXED K-sample
+discretization of its (clamped) segment in one batched program —
+samples × pattern × points all vectorized.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ldso_tpu.core.window import PATTERN_OFFSETS
+from ldso_tpu.kernels.interp import bilinear33, in_bounds
+
+_HI = jax.lax.Precision.HIGHEST
+
+# status codes (reference: ImmaturePointStatus)
+GOOD, OOB, OUTLIER, SKIPPED, BADCONDITION, UNINITIALIZED = 0, 1, 2, 3, 4, 5
+
+
+class TraceResult(NamedTuple):
+    idepth_min: jnp.ndarray   # [N]
+    idepth_max: jnp.ndarray   # [N]
+    status: jnp.ndarray       # [N] i32
+    quality: jnp.ndarray      # [N] best/second-best energy ratio
+    best_uv: jnp.ndarray      # [N, 2] matched position in the new frame
+    best_idepth: jnp.ndarray  # [N] idepth at the matched position
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples", "gn_iters"))
+def trace_points(
+    img3_new,                # [H, W, 3] new frame (level 0)
+    uv,                      # [N, 2] host pixels
+    color,                   # [N, 8] host pattern intensities
+    idepth_min,              # [N]
+    idepth_max,              # [N]
+    valid,                   # [N] bool
+    T_hn,                    # [4, 4] hostToNew SE3
+    ab_hn,                   # [2] relative affine (alpha, beta): I_n ≈ alpha·I_h + beta
+    intr,                    # [4]
+    num_samples: int = 64,
+    gn_iters: int = 3,
+    max_pix_search_frac: float = 0.027,
+    outlier_energy: float = 1800.0,   # reference: setting_trace_energy-ish gate (12²·8 + slack)
+    min_quality: float = 3.0,
+    step_size: float = 1.0,
+) -> TraceResult:
+    h, w = img3_new.shape[0], img3_new.shape[1]
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    pat = jnp.asarray(PATTERN_OFFSETS)
+    R, t = T_hn[:3, :3], T_hn[:3, 3]
+
+    # central ray: pr = K·R·K⁻¹·(u,v,1) in "pixel-homogeneous" form, Kt = K·t
+    xh = jnp.stack([(uv[..., 0] - cx) / fx, (uv[..., 1] - cy) / fy,
+                    jnp.ones_like(uv[..., 0])], axis=-1)          # [N, 3]
+    Rx = jnp.einsum("ij,pj->pi", R, xh, precision=_HI)            # [N, 3]
+    pr = jnp.stack([fx * Rx[..., 0] + cx * Rx[..., 2],
+                    fy * Rx[..., 1] + cy * Rx[..., 2],
+                    Rx[..., 2]], axis=-1)
+    Kt = jnp.stack([fx * t[0] + cx * t[2], fy * t[1] + cy * t[2], t[2]])
+
+    def project_at(d):
+        """pixel position at inverse depth d: (pr + d·Kt) dehomogenized."""
+        ph = pr + d[..., None] * Kt[None, :]
+        z = ph[..., 2]
+        ok = z > 1e-6
+        z = jnp.where(ok, z, 1.0)
+        return jnp.stack([ph[..., 0] / z, ph[..., 1] / z], axis=-1), ok
+
+    p_min, ok_min = project_at(idepth_min)
+    p_max, ok_max = project_at(jnp.minimum(idepth_max, 1e8))
+    # direction & clamped search length (reference: maxPixSearch = 0.027(w+h))
+    seg = p_max - p_min
+    seg_len = jnp.linalg.norm(seg, axis=-1)
+    max_search = max_pix_search_frac * (w + h)
+    too_short = seg_len < 1.5
+    dir_ = seg / jnp.maximum(seg_len, 1e-8)[..., None]
+    length = jnp.minimum(seg_len, max_search)
+    # discretize from p_min toward p_max
+    steps = jnp.linspace(0.0, 1.0, num_samples)
+    sample_uv = p_min[:, None, :] + (length[:, None] * steps[None, :])[..., None] * dir_[:, None, :]  # [N, K, 2]
+
+    # pattern SSD at every sample (affine-corrected host colors)
+    pred = ab_hn[0] * color + ab_hn[1]                            # [N, 8]
+    samp = sample_uv[:, :, None, :] + pat[None, None, :, :]        # [N, K, 8, 2]
+    hit = bilinear33(img3_new, samp)
+    diff = hit[..., 0] - pred[:, None, :]
+    ssd = jnp.sum(diff * diff, axis=-1)                            # [N, K]
+    inb = jnp.all(in_bounds(samp, w, h, 2.0), axis=-1)             # [N, K]
+    ssd = jnp.where(inb, ssd, jnp.inf)
+
+    best_k = jnp.argmin(ssd, axis=-1)
+    best_e = jnp.min(ssd, axis=-1)
+    # second best outside ±2 samples (reference: setting_minTraceTestRadius)
+    kk = jnp.arange(num_samples)[None, :]
+    excl = jnp.abs(kk - best_k[:, None]) <= 2
+    second_e = jnp.min(jnp.where(excl, jnp.inf, ssd), axis=-1)
+    quality = second_e / jnp.maximum(best_e, 1e-6)
+
+    best_uv = jnp.take_along_axis(sample_uv, best_k[:, None, None].repeat(2, -1), axis=1)[:, 0, :]
+
+    # GN sub-pixel refinement along the line (reference: ≤3 iterations)
+    def gn_step(carry, _):
+        buv = carry
+        sampk = buv[:, None, :] + pat[None, :, :]
+        hitk = bilinear33(img3_new, sampk)
+        rk = hitk[..., 0] - pred
+        gk = jnp.sum(hitk[..., 1:3] * dir_[:, None, :], axis=-1)   # dI/ds
+        H = jnp.sum(gk * gk, axis=-1)
+        b = jnp.sum(gk * rk, axis=-1)
+        step = -b / jnp.maximum(H, 1e-6)
+        step = jnp.clip(step, -step_size, step_size)
+        return buv + step[..., None] * dir_, None
+
+    best_uv, _ = jax.lax.scan(gn_step, best_uv, None, length=gn_iters)
+
+    # convert matched pixel back to inverse depth using the better-conditioned axis
+    # u' = (pr.x + d·Kt.x)/(pr.z + d·Kt.z)  =>  d = (pr.z·u' − pr.x)/(Kt.x − Kt.z·u')
+    err_px = 1.0 + 0.5 * step_size
+    use_u = jnp.abs(dir_[..., 0]) > jnp.abs(dir_[..., 1])
+
+    def idepth_from(uv_pt):
+        du = (pr[..., 2] * uv_pt[..., 0] - pr[..., 0]) / (Kt[0] - Kt[2] * uv_pt[..., 0])
+        dv = (pr[..., 2] * uv_pt[..., 1] - pr[..., 1]) / (Kt[1] - Kt[2] * uv_pt[..., 1])
+        return jnp.where(use_u, du, dv)
+
+    d_lo = idepth_from(best_uv - err_px * dir_)
+    d_hi = idepth_from(best_uv + err_px * dir_)
+    new_min = jnp.minimum(d_lo, d_hi)
+    new_max = jnp.maximum(d_lo, d_hi)
+    best_idepth = idepth_from(best_uv)
+
+    # condition check: gradient along epipolar direction at the match
+    hit_best = bilinear33(img3_new, best_uv)
+    g_along = jnp.abs(jnp.sum(hit_best[..., 1:3] * dir_, axis=-1))
+
+    searched_oob = ~ok_min | ~ok_max | ~jnp.any(inb, axis=-1)
+    is_outlier = best_e > outlier_energy
+    bad_cond = (g_along < 1.0) | (new_max < new_min) | (new_min < -0.1)
+    low_quality = quality < min_quality
+
+    status = jnp.full(uv.shape[0], GOOD, jnp.int32)
+    status = jnp.where(low_quality, OUTLIER, status)
+    status = jnp.where(bad_cond, BADCONDITION, status)
+    status = jnp.where(is_outlier, OUTLIER, status)
+    status = jnp.where(too_short, SKIPPED, status)
+    status = jnp.where(searched_oob, OOB, status)
+    status = jnp.where(~valid, UNINITIALIZED, status)
+
+    good = status == GOOD
+    out_min = jnp.where(good, jnp.maximum(new_min, 0.0), idepth_min)
+    out_max = jnp.where(good, new_max, idepth_max)
+    return TraceResult(
+        idepth_min=out_min, idepth_max=out_max, status=status,
+        quality=quality, best_uv=best_uv, best_idepth=best_idepth,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def optimize_idepth(
+    win_images,              # [F, H, W, 3]
+    frame_valid,             # [F] bool
+    T_rel,                   # [F, 4, 4] hostToTarget for each slot
+    alpha,                   # [F] affine gain host->target
+    beta,                    # [F] affine offset
+    uv,                      # [N, 2] candidate pixels (host frame)
+    color,                   # [N, 8]
+    idepth0,                 # [N] initial inverse depth
+    valid,                   # [N]
+    intr,                    # [4]
+    host_slot,               # scalar int (candidates share one host)
+    iters: int = 3,
+    huber_th: float = 9.0,
+):
+    """1-dof GN on inverse depth against every valid window frame —
+    immature-point activation (reference: FullSystem::optimizeImmaturePoint
+    with ImmaturePointTemporaryResidual). Returns (idepth, H_dd, energy)."""
+    F = win_images.shape[0]
+    h, w = win_images.shape[1], win_images.shape[2]
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    pat = jnp.asarray(PATTERN_OFFSETS)
+    uvp = uv[:, None, :] + pat[None]                               # [N, 8, 2]
+    xh = jnp.stack([(uvp[..., 0] - cx) / fx, (uvp[..., 1] - cy) / fy,
+                    jnp.ones_like(uvp[..., 0])], axis=-1)          # [N, 8, 3]
+
+    def system(d):
+        Hd = jnp.zeros_like(d)
+        bd = jnp.zeros_like(d)
+        E = jnp.zeros_like(d)
+        cnt = jnp.zeros_like(d)
+        for f in range(F):
+            ok_f = frame_valid[f] & (f != host_slot)
+            R, t = T_rel[f, :3, :3], T_rel[f, :3, 3]
+            X = jnp.einsum("ij,pkj->pki", R, xh, precision=_HI) + t[None, None, :] * d[:, None, None]
+            z = X[..., 2]
+            okz = z > 1e-6
+            zs = jnp.where(okz, z, 1.0)
+            up, vp = X[..., 0] / zs, X[..., 1] / zs
+            uvn = jnp.stack([fx * up + cx, fy * vp + cy], axis=-1)
+            inb = in_bounds(uvn, w, h, 2.0) & okz & ok_f & valid[:, None]
+            hit = bilinear33(win_images[f], uvn)
+            r = hit[..., 0] - alpha[f] * color - beta[f]
+            dre = 1.0 / zs
+            Jd_u = fx * dre * (t[0] - t[2] * up)
+            Jd_v = fy * dre * (t[1] - t[2] * vp)
+            Jd = hit[..., 1] * Jd_u + hit[..., 2] * Jd_v
+            abs_r = jnp.abs(r)
+            hw = jnp.where(abs_r < huber_th, 1.0, huber_th / jnp.maximum(abs_r, 1e-12))
+            om = jnp.where(inb, hw, 0.0)
+            Hd += jnp.sum(om * Jd * Jd, axis=-1)
+            bd += jnp.sum(om * Jd * r, axis=-1)
+            E += jnp.sum(om * r * r * (2.0 - hw), axis=-1)
+            cnt += jnp.sum(inb, axis=-1)
+        return Hd, bd, E, cnt
+
+    d = idepth0
+    for _ in range(iters):
+        Hd, bd, E, cnt = system(d)
+        step = -bd / (Hd + 1e-6)
+        d = jnp.clip(d + step, 1e-5, 50.0)
+    Hd, bd, E, cnt = system(d)
+    return d, Hd, E, cnt
