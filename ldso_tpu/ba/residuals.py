@@ -199,10 +199,13 @@ def assemble(
         Xk = jnp.einsum("pij,pkj->pki", R_cur, xh_cur, precision=_HI) \
             + t_cur[:, None, :] * win.p_idepth[:, None, None]        # [P, 8, 3]
         zk = Xk[..., 2]
-        uk = fx * Xk[..., 0] / zk + win.c[2]
-        vk = fy * Xk[..., 1] / zk + win.c[3]
+        ok_z = zk > 1e-6
+        safe_zk = jnp.where(ok_z, zk, 1.0)   # NaN-safe: bad pairs masked below
+        uk = fx * Xk[..., 0] / safe_zk + win.c[2]
+        vk = fy * Xk[..., 1] / safe_zk + win.c[3]
         uvk = jnp.stack([uk, vk], axis=-1)
-        ok_pat = in_bounds(uvk, W_img, H_img, 2.0) & (zk > 1e-6)     # [P, 8]
+        ok_pat = in_bounds(uvk, W_img, H_img, 2.0) & ok_z            # [P, 8]
+        uvk = jnp.where(ok_pat[..., None], uvk, 2.0)
 
         hit = bilinear33(win.images[f], uvk)                         # [P, 8, 3]
         r_k = hit[..., 0] - bt_cur - a_cur[:, None] * (
@@ -342,11 +345,14 @@ def energy_only(win: Window, huber_th: float = 9.0, outlier_sum: float = 2500.0)
         Xk = jnp.einsum("pij,pkj->pki", R_cur, xh_cur, precision=_HI) \
             + t_cur[:, None, :] * win.p_idepth[:, None, None]
         zk = Xk[..., 2]
-        uk = fx * Xk[..., 0] / zk + win.c[2]
-        vk = fy * Xk[..., 1] / zk + win.c[3]
+        ok_z = zk > 1e-6
+        safe_zk = jnp.where(ok_z, zk, 1.0)
+        uk = fx * Xk[..., 0] / safe_zk + win.c[2]
+        vk = fy * Xk[..., 1] / safe_zk + win.c[3]
         uvk = jnp.stack([uk, vk], axis=-1)
-        ok = in_bounds(uvk, W_img, H_img, 2.0) & (zk > 1e-6) \
+        ok = in_bounds(uvk, W_img, H_img, 2.0) & ok_z \
             & win.res_mask[:, f][:, None] & win.p_valid[:, None] & win.frame_valid[f]
+        uvk = jnp.where(ok[..., None], uvk, 2.0)
         hit = bilinear33(win.images[f], uvk)
         r_k = hit[..., 0] - bt_cur - a_cur[:, None] * (win.p_color - bh_cur[:, None])
         w_tgt = jnp.sqrt(outlier_sum / (outlier_sum + jnp.sum(hit[..., 1:3] ** 2, axis=-1)))

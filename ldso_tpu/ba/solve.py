@@ -165,6 +165,10 @@ class BAStats(NamedTuple):
     energy_final: float
     num_residuals: int
     lam_final: float
+    # per-point idepth Hessian at the solution — the marginalize-vs-drop
+    # gate input (reference: PointHessian::idepth_hessian)
+    idepth_hessian: object = None     # np [P]
+    valid_pair: object = None         # np bool [P, F]
 
 
 def run_ba(
@@ -249,5 +253,7 @@ def run_ba(
         energy_final=float(E),
         num_residuals=int(sys.num_res),
         lam_final=float(lam),
+        idepth_hessian=np.asarray(sys.H_dd),
+        valid_pair=np.asarray(sys.valid_pair),
     )
     return win, stats

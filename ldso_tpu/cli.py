@@ -1,0 +1,106 @@
+"""Command-line runner (reference: examples/run_dso_{tum_mono,kitti,euroc}.cc).
+
+    python -m ldso_tpu.cli run --dataset tum --path /data/seq_01 \
+        --preset default --output results.txt [--start 0 --end -1] \
+        [--loop-closing 1] [--metrics metrics.jsonl]
+
+Exports the trajectory in TUM format (`timestamp tx ty tz qx qy qz qw`,
+camToWorld — reference: FullSystem::printResult) and, when ground truth
+is available (synthetic dataset), prints the ATE.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _build_system(args, ds):
+    from ldso_tpu.config import preset
+    from ldso_tpu.system import FullSystem
+
+    cfg = preset(args.preset)
+    if args.seed:
+        cfg = cfg.replace(seed=args.seed)
+    img0, _, _ = ds.get_image(0)
+    h, w = img0.shape
+    system = FullSystem(cfg, ds.intrinsics(), w, h)
+    if args.loop_closing:
+        from ldso_tpu.loop.closing import LoopClosing
+
+        lc = LoopClosing(cfg, ds.intrinsics())
+        system.on_keyframe = lc.on_keyframe
+        system.loop_closing = lc
+    return system
+
+
+def cmd_run(args) -> int:
+    from ldso_tpu.eval.ate import ate_rmse, write_tum_trajectory
+    from ldso_tpu.io.datasets import open_dataset
+
+    ds = open_dataset(args.dataset, args.path)
+    system = _build_system(args, ds)
+
+    end = args.end if args.end > 0 else ds.num_frames
+    t0 = time.time()
+    n_done = 0
+    for i in range(args.start, min(end, ds.num_frames)):
+        img, ts, exp = ds.get_image(i)
+        st = system.add_frame(img, ts, exp)
+        n_done += 1
+        if args.verbose:
+            print(f"[{i}] {st.get('status')} rmse={st.get('rmse', 0):.2f}",
+                  file=sys.stderr)
+        if st["status"] == "lost":
+            print(f"tracking LOST at frame {i}", file=sys.stderr)
+            break
+    wall = time.time() - t0
+
+    ts_arr, poses = system.export_trajectory()
+    if args.output:
+        write_tum_trajectory(args.output, ts_arr, poses)
+        print(f"wrote {len(poses)} poses -> {args.output}", file=sys.stderr)
+    if args.metrics:
+        system.write_metrics(args.metrics)
+
+    summary = dict(frames=n_done, fps=round(n_done / max(wall, 1e-9), 2),
+                   keyframes=len(system.kfs), lost=system.is_lost)
+    if hasattr(ds, "gt_pose_c_w") and len(poses) > 3:
+        ids = [fr.frame_id for fr in system.frames][: len(poses)]
+        gt = np.stack([ds.gt_pose_c_w(i) for i in ids])
+        est_c = np.stack([-(P[:3, :3].T @ P[:3, 3]) for P in poses])
+        gt_c = np.stack([-(P[:3, :3].T @ P[:3, 3]) for P in gt])
+        rmse, _ = ate_rmse(est_c, gt_c, with_scale=True)
+        summary["ate_rmse"] = round(float(rmse), 4)
+    print(json.dumps(summary))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="ldso_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    r = sub.add_parser("run", help="run odometry on a dataset")
+    r.add_argument("--dataset", choices=["tum", "kitti", "euroc", "synthetic"],
+                   required=True)
+    r.add_argument("--path", default="", help="dataset root directory")
+    r.add_argument("--preset", default="default",
+                   help="default | realtime | fast | tiny (reference preset=0..3)")
+    r.add_argument("--start", type=int, default=0)
+    r.add_argument("--end", type=int, default=-1)
+    r.add_argument("--output", default="results.txt",
+                   help="TUM-format trajectory output")
+    r.add_argument("--metrics", default="", help="JSONL per-frame metrics")
+    r.add_argument("--loop-closing", type=int, default=1)
+    r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--verbose", action="store_true")
+    r.set_defaults(fn=cmd_run)
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -276,11 +276,14 @@ class CoarseInitializer:
         mean_id = float(np.mean(d[good])) if good.any() else 1.0
         rescale = 1.0 / max(mean_id, 1e-6)
         T = np.asarray(self.T, dtype=np.float64)
-        T[:3, 3] *= rescale
+        # idepth *= rescale shrinks the world by 1/rescale, so the baseline
+        # must shrink too (reference: firstToNew.translation() /= rescaleFactor)
+        T[:3, 3] /= rescale
         return dict(
             T_first_to_new=T,
             uv=np.asarray(self.uv),
             idepth=d * rescale,
             good=good,
             ab=np.asarray(self.ab),
+            rescale=rescale,
         )

@@ -1,0 +1,255 @@
+"""Loop detection + correction orchestration.
+
+TPU-native redesign of the reference's ``LoopClosing`` thread
+(reference: n-lalanne/LDSO src/frontend/LoopClosing.cc — per-KF BoW
+insert, DetectLoop's score gates + consistency window, geometric check
+via PnP-RANSAC + g2o Sim3 refine, then Map::OptimizeALLKFs in a
+detached thread): here the host conductor is synchronous-by-default
+(call per keyframe), with every numeric stage jitted — feature
+detection, BoW assignment/scoring, Hamming matching, batched Sim3
+RANSAC, GN refine, and the CG pose graph. The async overlap of the
+reference's thread model is recovered at the device level: these
+programs run on the accelerator stream while the host continues
+(dispatch is non-blocking until results are read).
+
+Point depth for matched features comes from the engine's active point
+banks at keyframe time — each KF snapshot stores (uv, idepth) of its
+visible active points and feature depths are assigned by
+nearest-active-point lookup (the reference reads immature/active depth
+around the corner the same way).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldso_tpu.config import LdsoConfig
+from ldso_tpu.loop import bow, match, orb, posegraph, sim3
+from ldso_tpu.math import lie
+
+
+@dataclasses.dataclass
+class KFSnapshot:
+    """Per-keyframe loop-closure payload (reference: Frame's features,
+    bowVec, and the depth its corners inherit from nearby points)."""
+
+    kf_id: int
+    feats: orb.Features
+    bow_vec: Optional[np.ndarray]      # None until the vocabulary exists
+    # features with depth (camera-frame 3D), for geometric verification
+    X_cam: np.ndarray                  # [N, 3]
+    has_depth: np.ndarray              # bool [N]
+
+
+def _assign_depth(feat_uv: np.ndarray, pt_uv: np.ndarray,
+                  pt_idepth: np.ndarray, pt_valid: np.ndarray,
+                  intr, max_px: float = 8.0):
+    """Nearest-active-point depth transfer to corner features."""
+    n = feat_uv.shape[0]
+    X = np.zeros((n, 3), np.float64)
+    ok = np.zeros(n, bool)
+    pu = pt_uv[pt_valid]
+    pd = pt_idepth[pt_valid]
+    if len(pu) == 0:
+        return X, ok
+    d2 = ((feat_uv[:, None, :] - pu[None, :, :]) ** 2).sum(-1)
+    j = d2.argmin(1)
+    near = np.sqrt(d2[np.arange(n), j]) < max_px
+    idep = np.maximum(pd[j], 1e-6)
+    fx, fy, cx, cy = (float(v) for v in intr)
+    z = 1.0 / idep
+    X[:, 0] = (feat_uv[:, 0] - cx) / fx * z
+    X[:, 1] = (feat_uv[:, 1] - cy) / fy * z
+    X[:, 2] = z
+    ok = near
+    return X, ok
+
+
+class LoopClosing:
+    """Host conductor for loop closure; attach via
+    ``full_system.on_keyframe = LoopClosing(cfg, intr).on_keyframe``."""
+
+    def __init__(self, cfg: LdsoConfig, intr,
+                 vocab: Optional[bow.Vocabulary] = None,
+                 train_after: int = 8):
+        self.cfg = cfg
+        self.intr = np.asarray(intr, np.float32)
+        self.vocab = vocab
+        self.train_after = train_after
+        self.db: Optional[bow.KeyframeDatabase] = (
+            bow.KeyframeDatabase(vocab) if vocab is not None else None)
+        self.snapshots: dict[int, KFSnapshot] = {}
+        self.loops_closed: List[tuple] = []    # (kf_cur, kf_cand, S_cur_cand)
+        self._consistency: List[int] = []      # recent candidate ids
+        self._key = jax.random.PRNGKey(cfg.seed)
+
+    # ------------------------------------------------------------------
+
+    def on_keyframe(self, system, kf, pyr) -> Optional[dict]:
+        """Per-new-KF hook (reference: InsertKeyFrame + Run loop body)."""
+        cfg = self.cfg
+        feats = orb.detect(pyr[0], max_features=cfg.loop.max_features,
+                           fast_th=cfg.loop.orb_fast_th)
+        uv_np = np.asarray(feats.uv)
+        pt_uv, pt_idep, _, pt_valid = (np.asarray(a) for a in
+                                       self._points_in_kf(system, kf))
+        X, ok = _assign_depth(uv_np, pt_uv, pt_idep, pt_valid, self.intr)
+        ok &= np.asarray(feats.valid)
+        snap = KFSnapshot(kf.kf_id, feats, None, X, ok)
+        self.snapshots[kf.kf_id] = snap
+
+        # lazily train the vocabulary once enough descriptors exist
+        if self.vocab is None:
+            if len(self.snapshots) >= self.train_after:
+                self._train_vocab()
+            return None
+
+        snap.bow_vec = np.asarray(
+            bow.bow_vector(self.vocab, feats.desc, feats.valid))
+        result = self._detect_and_close(system, kf, snap)
+        self.db.add(kf.kf_id, snap.bow_vec)
+        return result
+
+    def _points_in_kf(self, system, kf):
+        from ldso_tpu.system import _project_points_to_slot
+        return _project_points_to_slot(system.win, jnp.asarray(kf.slot))
+
+    def _train_vocab(self):
+        descs, valids = [], []
+        for s in self.snapshots.values():
+            descs.append(np.asarray(s.feats.desc))
+            valids.append(np.asarray(s.feats.valid))
+        d = np.concatenate(descs)[np.concatenate(valids)]
+        self.vocab = bow.train_vocabulary(d, k=8, levels=3,
+                                          seed=self.cfg.seed)
+        self.db = bow.KeyframeDatabase(self.vocab)
+        # backfill signatures for the snapshots collected so far
+        for s in sorted(self.snapshots.values(), key=lambda x: x.kf_id):
+            s.bow_vec = np.asarray(
+                bow.bow_vector(self.vocab, s.feats.desc, s.feats.valid))
+            self.db.add(s.kf_id, s.bow_vec)
+
+    # ------------------------------------------------------------------
+
+    def _detect_and_close(self, system, kf, snap) -> Optional[dict]:
+        """reference: DetectLoop + CorrectLoop."""
+        cfg = self.cfg
+        if len(self.db) == 0:
+            return None
+        ids, scores = self.db.query(
+            snap.bow_vec, exclude_above=kf.kf_id - cfg.loop.min_kf_gap)
+        if len(ids) == 0:
+            return None
+        # neighbor min-score gate: score of the previous KF is the floor
+        prev = self.snapshots.get(kf.kf_id - 1)
+        ref_score = 0.1
+        if prev is not None and prev.bow_vec is not None:
+            ref_score = float(bow.l1_score(jnp.asarray(snap.bow_vec),
+                                           jnp.asarray(prev.bow_vec)))
+        th = max(0.05, cfg.loop.min_score_rel * ref_score)
+        best = int(np.argmax(scores))
+        if scores[best] < th:
+            self._consistency.clear()
+            return None
+        cand_id = int(ids[best])
+        # temporal consistency: several successive KFs must agree on the
+        # same loop region (reference: consistency groups)
+        self._consistency.append(cand_id)
+        self._consistency = self._consistency[-cfg.loop.consistency_window:]
+        if len(self._consistency) < cfg.loop.consistency_window or \
+                max(self._consistency) - min(self._consistency) > 10:
+            return dict(candidate=cand_id, score=float(scores[best]),
+                        accepted=False, reason="consistency")
+
+        return self._geometric_check(system, kf, snap, cand_id,
+                                     float(scores[best]))
+
+    def _geometric_check(self, system, kf, snap, cand_id, score):
+        cfg = self.cfg
+        cand = self.snapshots[cand_id]
+        m = match.match(snap.feats.desc, snap.feats.valid,
+                        cand.feats.desc, cand.feats.valid)
+        m_valid = np.asarray(m.valid)
+        idx_b = np.asarray(m.idx_b)
+        # correspondence with depth on both sides
+        pair_ok = m_valid & snap.has_depth & cand.has_depth[idx_b]
+        if pair_ok.sum() < cfg.loop.min_matches:
+            return dict(candidate=cand_id, score=score, accepted=False,
+                        reason="matches", n=int(pair_ok.sum()))
+
+        X_a = jnp.asarray(snap.X_cam, jnp.float32)
+        uv_a = snap.feats.uv
+        X_b = jnp.asarray(cand.X_cam[idx_b], jnp.float32)
+        uv_b = cand.feats.uv[jnp.asarray(idx_b)]
+        valid = jnp.asarray(pair_ok)
+
+        self._key, sub = jax.random.split(self._key)
+        r = sim3.ransac_sim3(X_a, uv_a, X_b, uv_b, valid,
+                             jnp.asarray(self.intr), sub,
+                             n_hyps=cfg.loop.ransac_hypotheses,
+                             threshold=cfg.loop.ransac_threshold)
+        if int(r.n_inliers) < cfg.loop.min_inliers:
+            return dict(candidate=cand_id, score=score, accepted=False,
+                        reason="ransac", n_inliers=int(r.n_inliers))
+        rf = sim3.refine_sim3(r.S_ab, X_a, uv_a, X_b, uv_b, r.inliers,
+                              valid, jnp.asarray(self.intr),
+                              iters=cfg.loop.sim3_iterations)
+        if int(rf.n_inliers) < cfg.loop.min_inliers:
+            return dict(candidate=cand_id, score=score, accepted=False,
+                        reason="refine", n_inliers=int(rf.n_inliers))
+
+        # S_cur_cand maps candidate-camera points into current camera:
+        # as a pose constraint, S_cur_w = S_cur_cand · S_cand_w
+        S_cur_cand = np.asarray(rf.S_ab, np.float64)
+        from ldso_tpu.system import PoseEdge
+        system.pose_edges.append(PoseEdge(
+            kf.kf_id, cand_id, S_cur_cand, kind="loop",
+            scale=float(lie.sim3_scale(jnp.asarray(S_cur_cand)))))
+        self.loops_closed.append((kf.kf_id, cand_id, S_cur_cand))
+        self._consistency.clear()
+
+        self.run_pose_graph(system)
+        return dict(candidate=cand_id, score=score, accepted=True,
+                    n_inliers=int(rf.n_inliers))
+
+    # ------------------------------------------------------------------
+
+    def run_pose_graph(self, system) -> None:
+        """reference: Map::OptimizeALLKFs — window KFs + first KF fixed;
+        optimized Sim3 poses written back to the (out-of-window) KF
+        registry only."""
+        cfg = self.cfg
+        kf_ids = sorted(system.kfs.keys())
+        if len(kf_ids) < 3:
+            return
+        kf_index = {k: i for i, k in enumerate(kf_ids)}
+        K = len(kf_ids)
+        S = np.stack([np.asarray(system.kfs[k].T_cw, np.float64)
+                      for k in kf_ids])
+        fixed = np.zeros(K, bool)
+        fixed[0] = True
+        for k in kf_ids:
+            if system.kfs[k].in_window:
+                fixed[kf_index[k]] = True
+
+        # static edge capacity: next power of two over the edge count
+        n_e = len(system.pose_edges)
+        cap = 1 << max(4, (n_e - 1).bit_length())
+        ei, ej, S_meas, w = posegraph.build_edges(system.pose_edges,
+                                                  kf_index, cap)
+        out = posegraph.optimize_pose_graph(
+            jnp.asarray(S), jnp.asarray(ei), jnp.asarray(ej),
+            jnp.asarray(S_meas), jnp.asarray(w), jnp.asarray(fixed),
+            lm_iters=cfg.loop.pgo_iterations)
+        S_opt = np.asarray(out.S)
+        for k in kf_ids:
+            i = kf_index[k]
+            if not fixed[i]:
+                # strip scale into translation (Sim3 → SE3 for export)
+                system.kfs[k].T_cw = np.asarray(
+                    lie.sim3_to_se3(jnp.asarray(S_opt[i])), np.float64)

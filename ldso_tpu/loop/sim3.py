@@ -1,0 +1,143 @@
+"""Sim(3) loop-constraint estimation: batched RANSAC + GN refinement.
+
+TPU-native redesign of the reference's loop-geometry pipeline
+(reference: n-lalanne/LDSO src/frontend/LoopClosing.cc —
+cv::solvePnPRansac for an SE3 initialization followed by a g2o Sim3
+refinement with inverse-depth-weighted reprojection edges): because both
+keyframes carry depth for their matched features, the minimal solver
+here is the 3-point closed-form Sim(3) (Umeyama/Horn on 3D-3D
+correspondences — the same choice ORB-SLAM's Sim3Solver makes), which
+vectorizes perfectly: all RANSAC hypotheses are solved in ONE batched
+program (no sequential hypothesis loop), scored by symmetric
+reprojection, and the winner is polished by a Huber-weighted
+Gauss-Newton on the 7-dof tangent with jacfwd-derived Jacobians.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ldso_tpu.math import lie
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class Sim3Result(NamedTuple):
+    S_ab: jnp.ndarray       # [4, 4] Sim3: a_cam ← b_cam
+    n_inliers: jnp.ndarray  # i32
+    inliers: jnp.ndarray    # bool [N]
+
+
+def umeyama_sim3(A, B, w=None):
+    """Closed-form Sim3 (a ← b) from 3D-3D pairs: A ≈ S·B.
+
+    A, B: [..., N, 3]; optional weights [..., N]. Batched over leading
+    axes (the RANSAC hypothesis axis)."""
+    if w is None:
+        w = jnp.ones(A.shape[:-1], A.dtype)
+    wn = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
+    mu_a = jnp.sum(A * wn[..., None], axis=-2)
+    mu_b = jnp.sum(B * wn[..., None], axis=-2)
+    Ac = A - mu_a[..., None, :]
+    Bc = B - mu_b[..., None, :]
+    cov = jnp.einsum("...ni,...n,...nj->...ij", Ac, wn, Bc, precision=_HI)
+    U, D, Vt = jnp.linalg.svd(cov)
+    det = jnp.linalg.det(jnp.einsum("...ij,...jk->...ik", U, Vt))
+    S_fix = jnp.ones(A.shape[:-2] + (3,), A.dtype).at[..., 2].set(jnp.sign(det))
+    R = jnp.einsum("...ij,...j,...jk->...ik", U, S_fix, Vt, precision=_HI)
+    var_b = jnp.sum(wn * jnp.sum(Bc * Bc, axis=-1), axis=-1)
+    s = jnp.sum(D * S_fix, axis=-1) / jnp.maximum(var_b, 1e-12)
+    t = mu_a - s[..., None] * jnp.einsum("...ij,...j->...i", R, mu_b)
+    return lie.sim3(s, R, t)
+
+
+def _project(X, intr):
+    z = jnp.maximum(X[..., 2], 1e-6)
+    return jnp.stack([intr[0] * X[..., 0] / z + intr[2],
+                      intr[1] * X[..., 1] / z + intr[3]], axis=-1)
+
+
+def _apply(S, X):
+    return jnp.einsum("...ij,...nj->...ni", S[..., :3, :3], X) \
+        + S[..., None, :3, 3]
+
+
+def symmetric_inliers(S_ab, X_a, uv_a, X_b, uv_b, valid, intr, th: float):
+    """Inlier mask under symmetric reprojection: b's points through S into
+    cam a, and a's points through S⁻¹ into cam b."""
+    S_ba = lie.sim3_inverse(S_ab)
+    e_a = jnp.linalg.norm(_project(_apply(S_ab, X_b), intr) - uv_a, axis=-1)
+    e_b = jnp.linalg.norm(_project(_apply(S_ba, X_a), intr) - uv_b, axis=-1)
+    return valid & (e_a < th) & (e_b < th)
+
+
+@functools.partial(jax.jit, static_argnames=("n_hyps",))
+def ransac_sim3(X_a, uv_a, X_b, uv_b, valid, intr, key,
+                n_hyps: int = 256, threshold: float = 5.0) -> Sim3Result:
+    """All hypotheses in one batch (reference ladder: solvePnPRansac's
+    sequential trials → one [H, 3] gather + batched Umeyama here)."""
+    N = X_a.shape[0]
+    # sample triplets proportional to validity
+    p = valid.astype(jnp.float32)
+    p = p / jnp.maximum(p.sum(), 1e-9)
+    idx = jax.random.choice(key, N, shape=(n_hyps, 3), replace=True, p=p)
+    A = X_a[idx]                                                  # [H, 3, 3]
+    B = X_b[idx]
+    S = umeyama_sim3(A, B)                                        # [H, 4, 4]
+    # degenerate-sample + scale sanity gate
+    s = lie.sim3_scale(S)
+    ok_h = jnp.isfinite(s) & (s > 0.1) & (s < 10.0)
+
+    inl = jax.vmap(
+        lambda Sh: symmetric_inliers(Sh, X_a, uv_a, X_b, uv_b, valid,
+                                     intr, threshold))(S)         # [H, N]
+    counts = jnp.where(ok_h, jnp.sum(inl, axis=-1), -1)
+    best = jnp.argmax(counts)
+    S_best = S[best]
+    inliers = inl[best]
+    # re-fit on all inliers (weighted Umeyama) for a better starting point
+    S_fit = umeyama_sim3(X_a, X_b, w=inliers.astype(X_a.dtype))
+    inl2 = symmetric_inliers(S_fit, X_a, uv_a, X_b, uv_b, valid, intr,
+                             threshold)
+    take_fit = jnp.sum(inl2) >= jnp.sum(inliers)
+    S_out = jnp.where(take_fit, S_fit, S_best)
+    inl_out = jnp.where(take_fit, inl2, inliers)
+    return Sim3Result(S_ab=S_out, n_inliers=jnp.sum(inl_out), inliers=inl_out)
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def refine_sim3(S0, X_a, uv_a, X_b, uv_b, inliers, valid, intr,
+                iters: int = 10, huber_px: float = 3.0) -> Sim3Result:
+    """Huber GN on the 7-dof tangent, symmetric reprojection residuals
+    (reference: the g2o Sim3 vertex + EdgeSim3ProjectXYZ refinement)."""
+
+    def residuals(eps, S):
+        Se = lie.sim3_mul(lie.sim3_exp(eps), S)
+        r_a = _project(_apply(Se, X_b), intr) - uv_a              # [N, 2]
+        r_b = _project(_apply(lie.sim3_inverse(Se), X_a), intr) - uv_b
+        return jnp.concatenate([r_a, r_b], axis=0).reshape(-1)    # [4N]
+
+    w_pt = inliers.astype(X_a.dtype)
+    w_full = jnp.tile(jnp.repeat(w_pt, 2), 2)                     # [4N]
+
+    def step(S, _):
+        eps0 = jnp.zeros(7, X_a.dtype)
+        r = residuals(eps0, S)
+        J = jax.jacfwd(residuals)(eps0, S)                        # [4N, 7]
+        hw = jnp.where(jnp.abs(r) < huber_px, 1.0,
+                       huber_px / jnp.maximum(jnp.abs(r), 1e-9))
+        om = w_full * hw
+        H = jnp.einsum("ri,r,rj->ij", J, om, J, precision=_HI)
+        b = jnp.einsum("ri,r->i", J, om * r, precision=_HI)
+        H = H + 1e-6 * jnp.eye(7, dtype=H.dtype) * jnp.maximum(jnp.trace(H), 1.0)
+        eps = -jnp.linalg.solve(H, b)
+        return lie.sim3_mul(lie.sim3_exp(eps), S), None
+
+    S, _ = jax.lax.scan(step, S0, None, length=iters)
+    inl = symmetric_inliers(S, X_a, uv_a, X_b, uv_b, valid, intr,
+                            huber_px * 2.0)
+    return Sim3Result(S_ab=S, n_inliers=jnp.sum(inl), inliers=inl)

@@ -47,8 +47,8 @@ def trace_points(
     idepth_min,              # [N]
     idepth_max,              # [N]
     valid,                   # [N] bool
-    T_hn,                    # [4, 4] hostToNew SE3
-    ab_hn,                   # [2] relative affine (alpha, beta): I_n ≈ alpha·I_h + beta
+    T_hn,                    # [4, 4] or [N, 4, 4] hostToNew SE3 (per point)
+    ab_hn,                   # [2] or [N, 2] relative affine: I_n ≈ alpha·I_h + beta
     intr,                    # [4]
     num_samples: int = 64,
     gn_iters: int = 3,
@@ -58,22 +58,28 @@ def trace_points(
     step_size: float = 1.0,
 ) -> TraceResult:
     h, w = img3_new.shape[0], img3_new.shape[1]
+    N = uv.shape[0]
     fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
     pat = jnp.asarray(PATTERN_OFFSETS)
-    R, t = T_hn[:3, :3], T_hn[:3, 3]
+    if T_hn.ndim == 2:
+        T_hn = jnp.broadcast_to(T_hn, (N, 4, 4))
+    if ab_hn.ndim == 1:
+        ab_hn = jnp.broadcast_to(ab_hn, (N, 2))
+    R, t = T_hn[:, :3, :3], T_hn[:, :3, 3]                        # [N,3,3], [N,3]
 
     # central ray: pr = K·R·K⁻¹·(u,v,1) in "pixel-homogeneous" form, Kt = K·t
     xh = jnp.stack([(uv[..., 0] - cx) / fx, (uv[..., 1] - cy) / fy,
                     jnp.ones_like(uv[..., 0])], axis=-1)          # [N, 3]
-    Rx = jnp.einsum("ij,pj->pi", R, xh, precision=_HI)            # [N, 3]
+    Rx = jnp.einsum("pij,pj->pi", R, xh, precision=_HI)           # [N, 3]
     pr = jnp.stack([fx * Rx[..., 0] + cx * Rx[..., 2],
                     fy * Rx[..., 1] + cy * Rx[..., 2],
                     Rx[..., 2]], axis=-1)
-    Kt = jnp.stack([fx * t[0] + cx * t[2], fy * t[1] + cy * t[2], t[2]])
+    Kt = jnp.stack([fx * t[:, 0] + cx * t[:, 2],
+                    fy * t[:, 1] + cy * t[:, 2], t[:, 2]], axis=-1)  # [N, 3]
 
     def project_at(d):
         """pixel position at inverse depth d: (pr + d·Kt) dehomogenized."""
-        ph = pr + d[..., None] * Kt[None, :]
+        ph = pr + d[..., None] * Kt
         z = ph[..., 2]
         ok = z > 1e-6
         z = jnp.where(ok, z, 1.0)
@@ -81,10 +87,22 @@ def trace_points(
 
     p_min, ok_min = project_at(idepth_min)
     p_max, ok_max = project_at(jnp.minimum(idepth_max, 1e8))
+    max_search = max_pix_search_frac * (w + h)
+    # unbounded (or behind-camera) far end: walk maxPixSearch along the
+    # ANALYTIC epipolar direction d(uv)/d(idepth) at idepth_min
+    # (reference: traceOn's !isfinite(idepth_max) branch)
+    z_min = pr[..., 2] + idepth_min * Kt[:, 2]
+    epi = jnp.stack([Kt[:, 0] * pr[..., 2] - pr[..., 0] * Kt[:, 2],
+                     Kt[:, 1] * pr[..., 2] - pr[..., 1] * Kt[:, 2]], axis=-1)
+    epi = epi * jnp.sign(z_min)[..., None]
+    epi_n = jnp.linalg.norm(epi, axis=-1, keepdims=True)
+    epi_unit = epi / jnp.maximum(epi_n, 1e-12)
+    unbounded = ~ok_max | (idepth_max > 1e6)
+    p_max = jnp.where(unbounded[..., None],
+                      p_min + max_search * epi_unit, p_max)
     # direction & clamped search length (reference: maxPixSearch = 0.027(w+h))
     seg = p_max - p_min
     seg_len = jnp.linalg.norm(seg, axis=-1)
-    max_search = max_pix_search_frac * (w + h)
     too_short = seg_len < 1.5
     dir_ = seg / jnp.maximum(seg_len, 1e-8)[..., None]
     length = jnp.minimum(seg_len, max_search)
@@ -93,7 +111,7 @@ def trace_points(
     sample_uv = p_min[:, None, :] + (length[:, None] * steps[None, :])[..., None] * dir_[:, None, :]  # [N, K, 2]
 
     # pattern SSD at every sample (affine-corrected host colors)
-    pred = ab_hn[0] * color + ab_hn[1]                            # [N, 8]
+    pred = ab_hn[:, 0:1] * color + ab_hn[:, 1:2]                  # [N, 8]
     samp = sample_uv[:, :, None, :] + pat[None, None, :, :]        # [N, K, 8, 2]
     hit = bilinear33(img3_new, samp)
     diff = hit[..., 0] - pred[:, None, :]
@@ -132,8 +150,10 @@ def trace_points(
     use_u = jnp.abs(dir_[..., 0]) > jnp.abs(dir_[..., 1])
 
     def idepth_from(uv_pt):
-        du = (pr[..., 2] * uv_pt[..., 0] - pr[..., 0]) / (Kt[0] - Kt[2] * uv_pt[..., 0])
-        dv = (pr[..., 2] * uv_pt[..., 1] - pr[..., 1]) / (Kt[1] - Kt[2] * uv_pt[..., 1])
+        du = (pr[..., 2] * uv_pt[..., 0] - pr[..., 0]) / (
+            Kt[:, 0] - Kt[:, 2] * uv_pt[..., 0])
+        dv = (pr[..., 2] * uv_pt[..., 1] - pr[..., 1]) / (
+            Kt[:, 1] - Kt[:, 2] * uv_pt[..., 1])
         return jnp.where(use_u, du, dv)
 
     d_lo = idepth_from(best_uv - err_px * dir_)
@@ -146,7 +166,7 @@ def trace_points(
     hit_best = bilinear33(img3_new, best_uv)
     g_along = jnp.abs(jnp.sum(hit_best[..., 1:3] * dir_, axis=-1))
 
-    searched_oob = ~ok_min | ~ok_max | ~jnp.any(inb, axis=-1)
+    searched_oob = ~ok_min | ~jnp.any(inb, axis=-1)
     is_outlier = best_e > outlier_energy
     bad_cond = (g_along < 1.0) | (new_max < new_min) | (new_min < -0.1)
     low_quality = quality < min_quality

@@ -1,0 +1,99 @@
+"""Distributed BA on the virtual 8-device CPU mesh (SURVEY.md §5.8):
+the point-sharded single-psum GN step must agree with the single-device
+solver and actually place shards across devices."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldso_tpu.ba import solve
+from ldso_tpu.ba.residuals import assemble
+from ldso_tpu.config import preset
+from ldso_tpu.core.window import state_delta
+from ldso_tpu.distributed import sharded_ba
+from ldso_tpu.eval.toys import make_synthetic_window
+
+CFG = preset("tiny")
+
+
+@pytest.fixture(scope="module")
+def toy():
+    win, ds = make_synthetic_window(CFG, w=128, h=96, n_frames=3,
+                                    idepth_noise=0.05, pose_noise=0.003)
+    return win, ds
+
+
+class TestShardedBA:
+    def test_matches_single_device_step(self, toy):
+        win, _ = toy
+        n_dev = len(jax.devices())
+        assert n_dev >= 8, "conftest should provide 8 virtual devices"
+        mesh = sharded_ba.make_mesh(8)
+        D = CFG.shapes.state_dim
+        HM = np.zeros((D, D), np.float32)
+        bM = np.zeros(D, np.float32)
+
+        # single-device reference step (same lambda, same priors)
+        prior_d = jnp.asarray(solve.prior_diag(np.asarray(win.frame_valid), CFG))
+        s_vec = jnp.asarray(solve.scale_vector(CFG.shapes.max_frames, CFG.scales))
+        fixed = jnp.asarray(solve.fix_mask(CFG.shapes.max_frames, 0))
+        sys = assemble(win, huber_th=CFG.ba.huber_th,
+                       outlier_sum=CFG.ba.outlier_th_sum_component)
+        dx_ref, dd_ref = solve._solve_core(
+            sys.H, sys.b, sys.H_xd, sys.H_dd, sys.b_d,
+            jnp.asarray(HM), jnp.asarray(bM), state_delta(win), prior_d,
+            s_vec, fixed, jnp.zeros(D, jnp.float32), jnp.float32(1e-5),
+            win.p_valid)
+        win_ref = solve.apply_step(win, dx_ref, dd_ref)
+
+        win_sh = sharded_ba.shard_window(win, mesh)
+        step = sharded_ba.make_distributed_ba_step(mesh, CFG)
+        win_out, E = step(win_sh, HM, bM, lam=1e-5)
+
+        np.testing.assert_allclose(np.asarray(win_out.x),
+                                   np.asarray(win_ref.x), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(win_out.p_idepth),
+                                   np.asarray(win_ref.p_idepth), atol=2e-3)
+        assert np.isfinite(float(E))
+
+    def test_energy_decreases(self, toy):
+        win, _ = toy
+        mesh = sharded_ba.make_mesh(8)
+        D = CFG.shapes.state_dim
+        HM = np.zeros((D, D), np.float32)
+        bM = np.zeros(D, np.float32)
+        win_sh = sharded_ba.shard_window(win, mesh)
+        step = sharded_ba.make_distributed_ba_step(mesh, CFG)
+        w1, E1 = step(win_sh, HM, bM)
+        w2, E2 = step(w1, HM, bM)
+        w3, E3 = step(w2, HM, bM)
+        assert float(E3) < float(E1)
+
+    def test_sharding_actually_distributes(self, toy):
+        win, _ = toy
+        mesh = sharded_ba.make_mesh(8)
+        win_sh = sharded_ba.shard_window(win, mesh)
+        sh = win_sh.p_idepth.sharding
+        assert len(sh.device_set) == 8
+
+
+class TestGraftEntry:
+    def test_entry_compiles_and_runs(self):
+        import sys as _s, os
+        _s.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        import __graft_entry__ as g
+
+        fn, args = g.entry()
+        out = jax.jit(fn)(*args)
+        jax.block_until_ready(out)
+        assert np.isfinite(float(out[1]))
+
+    def test_dryrun_multichip(self):
+        import sys as _s, os
+        _s.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(8)
