@@ -46,6 +46,8 @@ def cmd_run(args) -> int:
     system = _build_system(args, ds)
 
     end = args.end if args.end > 0 else ds.num_frames
+    if args.frames > 0:
+        end = args.start + args.frames
     t0 = time.time()
     n_done = 0
     for i in range(args.start, min(end, ds.num_frames)):
@@ -91,6 +93,8 @@ def main(argv=None) -> int:
                    help="default | realtime | fast | tiny (reference preset=0..3)")
     r.add_argument("--start", type=int, default=0)
     r.add_argument("--end", type=int, default=-1)
+    r.add_argument("--frames", type=int, default=0,
+                   help="shorthand: end = start + frames")
     r.add_argument("--output", default="results.txt",
                    help="TUM-format trajectory output")
     r.add_argument("--metrics", default="", help="JSONL per-frame metrics")

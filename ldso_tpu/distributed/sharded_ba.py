@@ -61,17 +61,20 @@ def _local_gn_step(win: Window, HM, bM, prior_d, scale_vec, fixed, lam,
     H_sc = jnp.matmul(sys.H_xd.T, sys.H_xd * inv_dd[:, None], precision=_HI)
     b_sc = jnp.matmul(sys.H_xd.T, sys.b_d * inv_dd, precision=_HI)
 
-    H_loc = sys.H - H_sc
-    b_loc = sys.b - b_sc
-    H = jax.lax.psum(H_loc, AXIS)
-    b = jax.lax.psum(b_loc, AXIS)
-    E = jax.lax.psum(sys.energy, AXIS)
+    # ONE collective: stacked (H, H_sc) + (b, b_sc, energy) psum over ICI
+    HH = jax.lax.psum(jnp.stack([sys.H, H_sc]), AXIS)
+    bb = jax.lax.psum(jnp.concatenate([sys.b, b_sc,
+                                       sys.energy[None]]), AXIS)
+    D = sys.H.shape[0]
+    b_sum, bsc_sum, E = bb[:D], bb[D:2 * D], bb[2 * D]
 
-    # replicated tiny solve (every device computes the same dx)
-    H = H + HM + jnp.diag(prior_d)
-    b = b + bM + jnp.matmul(HM, delta, precision=_HI) + prior_d * delta
-    D = H.shape[0]
-    H = H.at[jnp.arange(D), jnp.arange(D)].multiply(1.0 + lam)
+    # replicated tiny solve (every device computes the same dx); damping
+    # order matches the single-device solver (_solve_core): damp the
+    # undamped total diagonal, THEN subtract the Schur term
+    H = HH[0] + HM + jnp.diag(prior_d)
+    b = (b_sum + bM + jnp.matmul(HM, delta, precision=_HI) + prior_d * delta
+         - bsc_sum)
+    H = H.at[jnp.arange(D), jnp.arange(D)].multiply(1.0 + lam) - HH[1]
     H = jnp.where(fixed[:, None] | fixed[None, :], 0.0, H)
     H = H.at[jnp.arange(D), jnp.arange(D)].add(jnp.where(fixed, 1.0, 0.0))
     b = jnp.where(fixed, 0.0, b)

@@ -192,6 +192,14 @@ def trajectory(n: int, kind: str = "forward_arc", step: float = 0.06) -> np.ndar
             rad = 2.0
             t = np.array([rad * np.sin(th), 0.0, rad * (1 - np.cos(th))])
             R = np.asarray(lie.so3_exp(jnp.asarray([0.0, th, 0.0])))
+        elif kind == "out_and_back":
+            # drive forward for half the frames, then return along the same
+            # path facing the SAME direction (revisits earlier views — the
+            # cheapest trackable loop-closure scenario)
+            half = n // 2
+            z = i * step if i < half else (2 * half - 1 - i) * step
+            t = np.array([0.15 * np.sin(0.2 * z * np.pi), 0.0, z])
+            R = np.eye(3)
         else:
             raise ValueError(kind)
         T = np.eye(4)

@@ -219,6 +219,57 @@ class LoopClosing:
 
     # ------------------------------------------------------------------
 
+    def relocalize(self, system, pyr) -> Optional[dict]:
+        """Lost-tracking recovery: BoW query against the whole KF database,
+        geometric (Sim3) verification against the best candidate, and
+        re-anchoring of the tracker on it. The reference has the database
+        but never implements this (SURVEY.md §5.3 — `isLost` just stops
+        mapping); config 4 requires it, and it is a natural extension of
+        the loop machinery."""
+        cfg = self.cfg
+        if self.vocab is None or len(self.db) == 0:
+            return None
+        feats = orb.detect(pyr[0], max_features=cfg.loop.max_features,
+                           fast_th=cfg.loop.orb_fast_th)
+        bv = np.asarray(bow.bow_vector(self.vocab, feats.desc, feats.valid))
+        ids, scores = self.db.query(bv)
+        if len(ids) == 0:
+            return None
+        order = np.argsort(-scores)[:3]
+        for oi in order:
+            cand_id = int(ids[oi])
+            cand = self.snapshots.get(cand_id)
+            if cand is None or not cand.has_depth.any():
+                continue
+            m = match.match(feats.desc, feats.valid,
+                            cand.feats.desc, cand.feats.valid)
+            idx_b = np.asarray(m.idx_b)
+            pair_ok = np.asarray(m.valid) & cand.has_depth[idx_b]
+            if pair_ok.sum() < cfg.loop.min_matches:
+                continue
+            # 2D-3D: candidate's 3D points observed in the lost frame
+            # (reference's loop path uses cv::solvePnPRansac the same way)
+            X_b = jnp.asarray(cand.X_cam[idx_b], jnp.float32)
+            uv_a = feats.uv
+            self._key, sub = jax.random.split(self._key)
+            r = sim3.ransac_pnp(X_b, uv_a, jnp.asarray(pair_ok),
+                                jnp.asarray(self.intr), sub,
+                                n_hyps=cfg.loop.ransac_hypotheses,
+                                threshold=cfg.loop.ransac_threshold * 2)
+            if int(r.n_inliers) < cfg.loop.min_inliers:
+                continue
+            rf = sim3.refine_pnp(r.S_ab, X_b, uv_a, r.inliers,
+                                 jnp.asarray(pair_ok),
+                                 jnp.asarray(self.intr),
+                                 iters=cfg.loop.sim3_iterations)
+            if int(rf.n_inliers) < cfg.loop.min_inliers:
+                continue
+            S_cur_cand = np.asarray(lie.sim3_to_se3(rf.S_ab), np.float64)
+            T_cw = S_cur_cand @ system.kfs[cand_id].T_cw
+            return dict(kf_id=cand_id, T_cw=T_cw,
+                        n_inliers=int(rf.n_inliers))
+        return None
+
     def run_pose_graph(self, system) -> None:
         """reference: Map::OptimizeALLKFs — window KFs + first KF fixed;
         optimized Sim3 poses written back to the (out-of-window) KF

@@ -109,6 +109,99 @@ def ransac_sim3(X_a, uv_a, X_b, uv_b, valid, intr, key,
     return Sim3Result(S_ab=S_out, n_inliers=jnp.sum(inl_out), inliers=inl_out)
 
 
+def _dlt_pose(X, uv, intr):
+    """Batched DLT camera pose from ≥6 2D-3D pairs: X [..., K, 3] (world),
+    uv [..., K, 2] (pixels) → [..., 4, 4] with scaled rotation (Sim3-like;
+    scale absorbs the DLT's projective ambiguity residue).
+
+    Standard two-rows-per-point nullspace solve (the vectorizable stand-in
+    for the reference's cv::solvePnPRansac minimal solver)."""
+    x = (uv[..., 0] - intr[2]) / intr[0]
+    y = (uv[..., 1] - intr[3]) / intr[1]
+    K = X.shape[-2]
+    zeros = jnp.zeros_like(X)
+    ones = jnp.ones(X.shape[:-1], X.dtype)
+    Xh = jnp.concatenate([X, ones[..., None]], axis=-1)            # [..., K, 4]
+    z4 = jnp.zeros_like(Xh)
+    row_u = jnp.concatenate([Xh, z4, -x[..., None] * Xh], axis=-1)  # [..., K, 12]
+    row_v = jnp.concatenate([z4, Xh, -y[..., None] * Xh], axis=-1)
+    A = jnp.concatenate([row_u, row_v], axis=-2)                    # [..., 2K, 12]
+    # nullspace via eigh of AᵀA (batched, TPU-friendly)
+    AtA = jnp.einsum("...ki,...kj->...ij", A, A, precision=_HI)
+    w, V = jnp.linalg.eigh(AtA)
+    p = V[..., :, 0]                                                # [..., 12]
+    P = p.reshape(*p.shape[:-1], 3, 4)
+    M = P[..., :3]
+    # sign: points must land in front (positive depth for the centroid)
+    Xc = jnp.mean(X, axis=-2)
+    depth = jnp.einsum("...j,...j->...", M[..., 2, :], Xc) + P[..., 2, 3]
+    sgn = jnp.where(depth < 0, -1.0, 1.0)
+    P = P * sgn[..., None, None]
+    M = P[..., :3]
+    # orthogonalize: M = s·R with R from SVD, s = mean singular value
+    U, D, Vt = jnp.linalg.svd(M)
+    det = jnp.linalg.det(jnp.einsum("...ij,...jk->...ik", U, Vt))
+    fix = jnp.ones(M.shape[:-2] + (3,), M.dtype).at[..., 2].set(jnp.sign(det))
+    R = jnp.einsum("...ij,...j,...jk->...ik", U, fix, Vt, precision=_HI)
+    s = jnp.mean(D * fix, axis=-1)
+    t = P[..., 3] / jnp.maximum(s[..., None], 1e-12)
+    out = jnp.zeros(M.shape[:-2] + (4, 4), M.dtype)
+    out = out.at[..., :3, :3].set(R)
+    out = out.at[..., :3, 3].set(t)
+    out = out.at[..., 3, 3].set(1.0)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("n_hyps",))
+def ransac_pnp(X, uv, valid, intr, key, n_hyps: int = 256,
+               threshold: float = 8.0) -> Sim3Result:
+    """Batched DLT-PnP RANSAC: pose of the camera observing known 3D
+    points X at pixels uv. Returns T (SE3 in a Sim3 container) mapping
+    X's frame into the observing camera."""
+    N = X.shape[0]
+    p = valid.astype(jnp.float32)
+    p = p / jnp.maximum(p.sum(), 1e-9)
+    idx = jax.random.choice(key, N, shape=(n_hyps, 6), replace=True, p=p)
+    T = _dlt_pose(X[idx], uv[idx], intr)                           # [H, 4, 4]
+    proj = jax.vmap(lambda Th: _project(_apply(Th, X), intr))(T)   # [H, N, 2]
+    err = jnp.linalg.norm(proj - uv[None], axis=-1)
+    depth_ok = jax.vmap(lambda Th: _apply(Th, X)[..., 2] > 1e-3)(T)
+    inl = valid[None] & (err < threshold) & depth_ok
+    counts = jnp.sum(inl, axis=-1)
+    best = jnp.argmax(counts)
+    return Sim3Result(S_ab=T[best], n_inliers=counts[best], inliers=inl[best])
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def refine_pnp(S0, X, uv, inliers, valid, intr, iters: int = 10,
+               huber_px: float = 3.0) -> Sim3Result:
+    """GN on the 7-dof tangent for single-direction reprojection
+    (2D-3D); scale is observable through projected depth."""
+
+    def residuals(eps, S):
+        Se = lie.sim3_mul(lie.sim3_exp(eps), S)
+        return (_project(_apply(Se, X), intr) - uv).reshape(-1)
+
+    w_full = jnp.repeat(inliers.astype(X.dtype), 2)
+
+    def step(S, _):
+        eps0 = jnp.zeros(7, X.dtype)
+        r = residuals(eps0, S)
+        J = jax.jacfwd(residuals)(eps0, S)
+        hw = jnp.where(jnp.abs(r) < huber_px, 1.0,
+                       huber_px / jnp.maximum(jnp.abs(r), 1e-9))
+        om = w_full * hw
+        H = jnp.einsum("ri,r,rj->ij", J, om, J, precision=_HI)
+        b = jnp.einsum("ri,r->i", J, om * r, precision=_HI)
+        H = H + 1e-6 * jnp.eye(7, dtype=H.dtype) * jnp.maximum(jnp.trace(H), 1.0)
+        return lie.sim3_mul(lie.sim3_exp(-jnp.linalg.solve(H, b)), S), None
+
+    S, _ = jax.lax.scan(step, S0, None, length=iters)
+    err = jnp.linalg.norm(_project(_apply(S, X), intr) - uv, axis=-1)
+    inl = valid & (err < 2.0 * huber_px) & (_apply(S, X)[..., 2] > 1e-3)
+    return Sim3Result(S_ab=S, n_inliers=jnp.sum(inl), inliers=inl)
+
+
 @functools.partial(jax.jit, static_argnames=("iters",))
 def refine_sim3(S0, X_a, uv_a, X_b, uv_b, inliers, valid, intr,
                 iters: int = 10, huber_px: float = 3.0) -> Sim3Result:

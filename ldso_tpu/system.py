@@ -217,8 +217,9 @@ class FullSystem:
         self.T_prelast_cw: Optional[np.ndarray] = None
         self.first_coarse_rmse = -1.0
         self.metrics: List[dict] = []
-        # hook the loop-closing subsystem assigns (called per new KF)
+        # hooks the loop-closing subsystem assigns
         self.on_keyframe = None
+        self.loop_closing = None
 
     # ------------------------------------------------------------------
     # Public API (reference: addActiveFrame / printResult)
@@ -233,6 +234,18 @@ class FullSystem:
         pyr, _ = build_pyramid(jnp.asarray(img), self.cfg.shapes.pyr_levels)
 
         if self.is_lost:
+            # relocalization by BoW + PnP re-anchor (new capability — the
+            # reference has the database but never recovers, SURVEY §5.3)
+            if self.loop_closing is not None:
+                rel = self.loop_closing.relocalize(self, pyr)
+                if rel is not None:
+                    self.is_lost = False
+                    self.T_last_cw = rel["T_cw"]
+                    self.T_prelast_cw = rel["T_cw"].copy()
+                    self.first_coarse_rmse = -1.0
+                    return dict(status="relocalized", frame_id=fid,
+                                anchor_kf=rel["kf_id"],
+                                n_inliers=rel["n_inliers"])
             return dict(status="lost", frame_id=fid)
         if not self.initialized:
             return self._initializer_step(fid, ts, exposure, pyr)
