@@ -39,7 +39,8 @@ import jax
 import jax.numpy as jnp
 
 from ldso_tpu.core.window import PATTERN_OFFSETS, Window, state_delta
-from ldso_tpu.kernels.interp import bilinear33, in_bounds
+from ldso_tpu.kernels.interp import (bilinear33, bilinear_packed, in_bounds,
+                                     pack_corners)
 from ldso_tpu.math import lie
 
 _HI = jax.lax.Precision.HIGHEST
@@ -180,19 +181,34 @@ def assemble(
     host = win.p_host                                                # [P]
     oh_host = jax.nn.one_hot(host, F, dtype=win.p_uv.dtype)          # [P, F]
 
+    # corner-packed images: every bilinear sample becomes ONE gather
+    # instead of four (the gathers are the HBM-latency-bound part of
+    # this kernel); packing is a cheap dense op amortized per call.
+    packed = jax.vmap(pack_corners)(win.images)                      # [F,H,W,12]
+
+    # per-point pair quantities: one-hot matmuls instead of [host, f]
+    # row gathers (MXU beats the gather unit for these tiny tables)
+    R_cur_p = jnp.einsum("pg,gfij->pfij", oh_host, pre.R_cur, precision=_HI)
+    t_cur_p = jnp.einsum("pg,gfi->pfi", oh_host, pre.t_cur, precision=_HI)
+    R_fej_p = jnp.einsum("pg,gfij->pfij", oh_host, pre.R_fej, precision=_HI)
+    t_fej_p = jnp.einsum("pg,gfi->pfi", oh_host, pre.t_fej, precision=_HI)
+    adj_p = jnp.einsum("pg,gfij->pfij", oh_host, pre.adj_fej, precision=_HI)
+    a_cur_p = jnp.einsum("pg,gf->pf", oh_host, pre.alpha_cur, precision=_HI)
+    a_fej_p = jnp.einsum("pg,gf->pf", oh_host, pre.alpha_fej, precision=_HI)
+    bh_cur = jnp.einsum("pg,g->p", oh_host, pre.b_host_cur, precision=_HI)
+    bh_fej = jnp.einsum("pg,g->p", oh_host, pre.b_host_fej, precision=_HI)
+
     # gather per-point relative transforms / affine for each target slot
     # (indexing [host, target]; python loop over the static F target slots)
     per_f = []
     for f in range(F):
-        R_cur = pre.R_cur[host, f]                                   # [P, 3, 3]
-        t_cur = pre.t_cur[host, f]                                   # [P, 3]
-        R_fej = pre.R_fej[host, f]
-        t_fej = pre.t_fej[host, f]
-        adj = pre.adj_fej[host, f]                                   # [P, 6, 6]
-        a_cur = pre.alpha_cur[host, f]                               # [P]
-        a_fej = pre.alpha_fej[host, f]
-        bh_cur = pre.b_host_cur[host]
-        bh_fej = pre.b_host_fej[host]
+        R_cur = R_cur_p[:, f]                                        # [P, 3, 3]
+        t_cur = t_cur_p[:, f]                                        # [P, 3]
+        R_fej = R_fej_p[:, f]
+        t_fej = t_fej_p[:, f]
+        adj = adj_p[:, f]                                            # [P, 6, 6]
+        a_cur = a_cur_p[:, f]                                        # [P]
+        a_fej = a_fej_p[:, f]
         bt_cur = pre.b_tgt_cur[f]
 
         # ---- current projection of all 8 pattern points
@@ -207,7 +223,7 @@ def assemble(
         ok_pat = in_bounds(uvk, W_img, H_img, 2.0) & ok_z            # [P, 8]
         uvk = jnp.where(ok_pat[..., None], uvk, 2.0)
 
-        hit = bilinear33(win.images[f], uvk)                         # [P, 8, 3]
+        hit = bilinear_packed(packed[f], uvk, 3)                     # [P, 8, 3]
         r_k = hit[..., 0] - bt_cur - a_cur[:, None] * (
             win.p_color - bh_cur[:, None])                           # [P, 8]
 
@@ -279,32 +295,63 @@ def assemble(
     e_k = jnp.stack([d["e"] for d in per_f], axis=1)
     valid_k = jnp.stack([d["valid"] for d in per_f], axis=1)
 
-    # ---- absolute-state Jacobian rows [P, F, 8, D]
-    eye_f = jnp.eye(F, dtype=r.dtype)
-    frames = (
-        jnp.einsum("pfka,fg->pfkga", target8, eye_f, precision=_HI)
-        + jnp.einsum("pfka,pg->pfkga", host8, oh_host, precision=_HI)
-    ).reshape(P, F, 8, F * 8)
-    J_abs = jnp.concatenate([frames, J_cam], axis=-1)                # [P, F, 8, D]
-
-    # residual used for the gradient: current (active) or FEJ-transported
+    # residual used for the gradient: current (active) or FEJ-transported.
+    # J·Δ is evaluated factor-wise — rows have only host-8/target-8/cam-4
+    # support, so the [P, F, 8, D] dense row matrix is never built.
     if mode == "fej":
         delta = state_delta(win)                                     # [D]
-        r_used = r - (
-            jnp.einsum("pfkD,D->pfk", J_abs, delta, precision=_HI)
+        dF = delta[:8 * F].reshape(F, 8)
+        dC = delta[8 * F:]
+        jdelta = (
+            jnp.einsum("pfka,fa->pfk", target8, dF, precision=_HI)
+            + jnp.einsum("pfka,pa->pfk", host8, dF[host], precision=_HI)
+            + jnp.einsum("pfka,a->pfk", J_cam, dC, precision=_HI)
             + J_d * (win.p_idepth - win.p_idepth_zero)[:, None, None]
         )
+        r_used = r - jdelta
     else:
         r_used = r
 
-    n_rows = P * F * 8
-    rows = J_abs.reshape(n_rows, D)
-    w_flat = omega.reshape(n_rows, 1)
-    H = jnp.matmul(rows.T, rows * w_flat, precision=_HI)             # [D, D] (MXU)
-    b = jnp.matmul(rows.T, (omega * r_used).reshape(n_rows), precision=_HI)
+    # ---- block-structured H = JᵀΩJ (DSO's AccumulatedTopHessian block
+    # layout as einsums: the [P, F, 8, D] row matrix would be 8F/20 ≈ 3.4x
+    # the HBM traffic of the compact factors — assemble per-block instead)
+    t8w = omega[..., None] * target8                                 # [P,F,8,8]
+    h8w = omega[..., None] * host8
+    c4w = omega[..., None] * J_cam
+
+    A_tt = jnp.einsum("pfka,pfkb->fab", t8w, target8, precision=_HI)   # [F,8,8]
+    m_hh = jnp.einsum("pfka,pfkb->pab", h8w, host8, precision=_HI)     # [P,8,8]
+    A_hh = jnp.einsum("pab,pg->gab", m_hh, oh_host, precision=_HI)     # [F,8,8]
+    x_ht = jnp.einsum("pfka,pfkb->pfab", h8w, target8, precision=_HI)  # [P,F,8,8]
+    A_ht = jnp.einsum("pfab,pg->gfab", x_ht, oh_host, precision=_HI)   # [G,F,8,8]
+    A_cc = jnp.einsum("pfka,pfkb->ab", c4w, J_cam, precision=_HI)      # [4,4]
+    A_tc = jnp.einsum("pfka,pfkb->fab", t8w, J_cam, precision=_HI)     # [F,8,4]
+    m_hc = jnp.einsum("pfka,pfkb->pab", h8w, J_cam, precision=_HI)     # [P,8,4]
+    A_hc = jnp.einsum("pab,pg->gab", m_hc, oh_host, precision=_HI)     # [F,8,4]
+
+    eye_f = jnp.eye(F, dtype=r.dtype)
+    blocks = (jnp.einsum("fab,fg->fgab", A_tt + A_hh, eye_f)           # diagonal
+              + A_ht                                                   # (host g, target f)
+              + jnp.transpose(A_ht, (1, 0, 3, 2)))                     # symmetric
+    Hff = jnp.transpose(blocks, (0, 2, 1, 3)).reshape(8 * F, 8 * F)
+    A_fc = (A_tc + A_hc).reshape(8 * F, 4)
+    H = jnp.concatenate([
+        jnp.concatenate([Hff, A_fc], axis=1),
+        jnp.concatenate([A_fc.T, A_cc], axis=1)], axis=0)            # [D, D]
+
+    wr = omega * r_used
+    b_t = jnp.einsum("pfka,pfk->fa", target8, wr, precision=_HI)     # [F,8]
+    b_hp = jnp.einsum("pfka,pfk->pa", host8, wr, precision=_HI)      # [P,8]
+    b_h = jnp.einsum("pa,pg->ga", b_hp, oh_host, precision=_HI)      # [F,8]
+    b_c = jnp.einsum("pfka,pfk->a", J_cam, wr, precision=_HI)        # [4]
+    b = jnp.concatenate([(b_t + b_h).reshape(8 * F), b_c])
 
     wJd = omega * J_d
-    H_xd = jnp.einsum("pfkD,pfk->pD", J_abs, wJd, precision=_HI)     # [P, D]
+    hx_t = jnp.einsum("pfka,pfk->pfa", target8, wJd, precision=_HI)  # [P,F,8]
+    hx_h = jnp.einsum("pfka,pfk->pa", host8, wJd, precision=_HI)     # [P,8]
+    hx_f = hx_t + jnp.einsum("pa,pg->pga", hx_h, oh_host, precision=_HI)
+    hx_c = jnp.einsum("pfka,pfk->pa", J_cam, wJd, precision=_HI)     # [P,4]
+    H_xd = jnp.concatenate([hx_f.reshape(P, 8 * F), hx_c], axis=1)   # [P, D]
     H_dd = jnp.sum(wJd * J_d, axis=(1, 2))                           # [P]
     b_d = jnp.sum(wJd * r_used, axis=(1, 2))                         # [P]
 
@@ -334,13 +381,18 @@ def energy_only(win: Window, huber_th: float = 9.0, outlier_sum: float = 2500.0)
     uv_pat = win.p_uv[:, None, :] + pat[None, :, :]
     xh_cur = _normalized_dirs(uv_pat, win.c)
     host = win.p_host
+    packed = jax.vmap(pack_corners)(win.images)
+    oh_host = jax.nn.one_hot(host, F, dtype=win.p_uv.dtype)
+    R_cur_p = jnp.einsum("pg,gfij->pfij", oh_host, pre.R_cur, precision=_HI)
+    t_cur_p = jnp.einsum("pg,gfi->pfi", oh_host, pre.t_cur, precision=_HI)
+    a_cur_p = jnp.einsum("pg,gf->pf", oh_host, pre.alpha_cur, precision=_HI)
+    bh_cur = jnp.einsum("pg,g->p", oh_host, pre.b_host_cur, precision=_HI)
     total = 0.0
     count = 0
     for f in range(F):
-        R_cur = pre.R_cur[host, f]
-        t_cur = pre.t_cur[host, f]
-        a_cur = pre.alpha_cur[host, f]
-        bh_cur = pre.b_host_cur[host]
+        R_cur = R_cur_p[:, f]
+        t_cur = t_cur_p[:, f]
+        a_cur = a_cur_p[:, f]
         bt_cur = pre.b_tgt_cur[f]
         Xk = jnp.einsum("pij,pkj->pki", R_cur, xh_cur, precision=_HI) \
             + t_cur[:, None, :] * win.p_idepth[:, None, None]
@@ -353,7 +405,7 @@ def energy_only(win: Window, huber_th: float = 9.0, outlier_sum: float = 2500.0)
         ok = in_bounds(uvk, W_img, H_img, 2.0) & ok_z \
             & win.res_mask[:, f][:, None] & win.p_valid[:, None] & win.frame_valid[f]
         uvk = jnp.where(ok[..., None], uvk, 2.0)
-        hit = bilinear33(win.images[f], uvk)
+        hit = bilinear_packed(packed[f], uvk, 3)
         r_k = hit[..., 0] - bt_cur - a_cur[:, None] * (win.p_color - bh_cur[:, None])
         w_tgt = jnp.sqrt(outlier_sum / (outlier_sum + jnp.sum(hit[..., 1:3] ** 2, axis=-1)))
         w_stat = 0.5 * (w_tgt + win.p_weight)

@@ -105,7 +105,19 @@ def _decode_png_gray(data: bytes) -> np.ndarray:
 
 
 def decode_image(data: bytes, name: str = "") -> np.ndarray:
-    """Decode to grayscale f32 [H, W] in [0, 255]. Prefers cv2/imageio."""
+    """Decode to grayscale f32 [H, W] in [0, 255].
+
+    Prefers the native C++ decoder (ldso_tpu/native: libpng/libjpeg via
+    ctypes — the TPU-native analog of the reference's OpenCV imread),
+    then cv2/imageio, then the pure-numpy fallback."""
+    try:
+        from ldso_tpu import native
+
+        img = native.decode_gray(data)
+        if img is not None:
+            return img
+    except Exception:
+        pass
     try:
         import cv2  # type: ignore
 
@@ -180,6 +192,32 @@ class _BaseReader:
         return np.asarray(img, np.float32)
 
 
+class _FilePrefetchMixin:
+    """Readers over plain image files pull frames through the native
+    threaded prefetcher when available (ldso_tpu/native), so host-side
+    decode overlaps device compute — the reference decodes synchronously
+    on the feed thread (examples/run_dso_*.cc main loop)."""
+
+    def _raw_frame(self, i: int) -> np.ndarray:
+        if not hasattr(self, "_pf"):
+            self._pf = None
+            self._pf_next = 0
+            try:
+                from ldso_tpu import native
+
+                if native.available():
+                    self._pf = native.Prefetcher(self._names)
+            except Exception:
+                self._pf = None
+        if self._pf is not None and i >= self._pf_next:
+            self._pf_next = i + 1
+            try:
+                return self._pf.get(i)
+            except RuntimeError:
+                pass
+        return decode_image(open(self._names[i], "rb").read(), self._names[i])
+
+
 class TumMonoDataset(_BaseReader):
     """TUM monoVO layout: images.zip (or images/), times.txt with
     exposures, camera.txt, pcalib.txt, vignette.png
@@ -240,7 +278,7 @@ class TumMonoDataset(_BaseReader):
         return self._process(raw), float(self._ts[i]), float(self._exp[i])
 
 
-class KittiDataset(_BaseReader):
+class KittiDataset(_FilePrefetchMixin, _BaseReader):
     """KITTI odometry grayscale: sequences/NN/image_0/*.png + times.txt +
     calib.txt (reference: examples/run_dso_kitti.cc). KITTI images are
     pre-rectified → pinhole passthrough, no photometric calib."""
@@ -268,11 +306,11 @@ class KittiDataset(_BaseReader):
         return len(self._names)
 
     def get_image(self, i: int):
-        raw = decode_image(open(self._names[i], "rb").read(), self._names[i])
+        raw = self._raw_frame(i)
         return self._process(raw), float(self._ts[i]), 1.0
 
 
-class EurocDataset(_BaseReader):
+class EurocDataset(_FilePrefetchMixin, _BaseReader):
     """EuRoC MAV: mav0/cam0/data/*.png + data.csv (timestamps ns)
     (reference: examples/run_dso_euroc.cc). The standard EuRoC radtan
     intrinsics are baked in (sensor.yaml parsing kept minimal — the
@@ -326,7 +364,7 @@ class EurocDataset(_BaseReader):
         return len(self._names)
 
     def get_image(self, i: int):
-        raw = decode_image(open(self._names[i], "rb").read(), self._names[i])
+        raw = self._raw_frame(i)
         return self._process(raw), float(self._ts[i]), 1.0
 
 

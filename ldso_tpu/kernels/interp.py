@@ -58,6 +58,41 @@ def bilinear33(img3, uv):
     return bilinear(img3, uv)
 
 
+def pack_corners(img):
+    """Pre-pack the 2x2 bilinear footprint: [H, W, C] -> [H, W, 4C].
+
+    packed[v, u] = concat(img[v, u], img[v, u+1], img[v+1, u],
+    img[v+1, u+1]) (border rows/cols replicate). Turns every bilinear
+    sample from 4 random gathers into ONE — the gather is the
+    HBM-latency-bound part of the residual hot loop on TPU, so the 4x
+    footprint memory is traded for a ~4x cut in gather count. Built once
+    per frame (or per linearization), amortized over all samples.
+    """
+    right = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+    down = jnp.concatenate([img[1:], img[-1:]], axis=0)
+    down_right = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+    return jnp.concatenate([img, right, down, down_right], axis=-1)
+
+
+def bilinear_packed(packed, uv, c: int):
+    """Bilinear sample from a corner-packed image (see pack_corners).
+
+    packed: [H, W, 4C]; uv: [..., 2]; c: the original channel count C.
+    Returns [..., C]. One gather per sample instead of four.
+    """
+    u, v = uv[..., 0], uv[..., 1]
+    u0 = jnp.floor(u).astype(jnp.int32)
+    v0 = jnp.floor(v).astype(jnp.int32)
+    du = (u - u0.astype(u.dtype))[..., None]
+    dv = (v - v0.astype(v.dtype))[..., None]
+    corners = _gather2d(packed, u0, v0)          # [..., 4C]
+    shp = corners.shape[:-1] + (4, c)
+    corners = corners.reshape(shp)
+    top = corners[..., 0, :] * (1.0 - du) + corners[..., 1, :] * du
+    bot = corners[..., 2, :] * (1.0 - du) + corners[..., 3, :] * du
+    return top * (1.0 - dv) + bot * dv
+
+
 def remap_image(img, remap):
     """Apply an undistortion remap grid.
 

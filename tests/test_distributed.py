@@ -89,6 +89,85 @@ class TestShardedBA:
         assert len(sh.device_set) == 8
 
 
+class TestShardedPGO:
+    def _toy_graph(self, K=24, seed=0):
+        from ldso_tpu.math import lie
+        rng = np.random.default_rng(seed)
+        gt = []
+        for i in range(K):
+            th = 2 * np.pi * i / K
+            Twc = np.eye(4)
+            Twc[:3, :3] = np.asarray(lie.so3_exp(jnp.asarray([0.0, th, 0.0])))
+            Twc[:3, 3] = [2 * np.sin(th), 0.0, 2 * (1 - np.cos(th))]
+            gt.append(np.linalg.inv(Twc))
+        gt = np.stack(gt)
+        S = [gt[0]]
+        for i in range(1, K):
+            inc = gt[i] @ np.linalg.inv(gt[i - 1])
+            noise = np.asarray(lie.sim3_exp(jnp.asarray(
+                np.concatenate([rng.normal(0, 0.02, 6),
+                                [rng.normal(0, 0.01)]]))))
+            S.append(noise @ inc @ S[-1])
+        S = np.stack(S)
+        edges = [(i, i - 1, gt[i] @ np.linalg.inv(gt[i - 1]))
+                 for i in range(1, K)]
+        edges.append((K - 1, 0, gt[K - 1] @ np.linalg.inv(gt[0])))
+        ei = np.asarray([e[0] for e in edges], np.int32)
+        ej = np.asarray([e[1] for e in edges], np.int32)
+        S_meas = np.stack([e[2] for e in edges])
+        w = np.ones(len(edges))
+        fixed = np.zeros(K, bool)
+        fixed[0] = True
+        return gt, S, ei, ej, S_meas, w, fixed
+
+    def test_matches_single_device(self):
+        from ldso_tpu.distributed import sharded_pgo
+        from ldso_tpu.loop import posegraph
+
+        gt, S, ei, ej, S_meas, w, fixed = self._toy_graph()
+        ref = posegraph.optimize_pose_graph(
+            jnp.asarray(S), jnp.asarray(ei), jnp.asarray(ej),
+            jnp.asarray(S_meas), jnp.asarray(w), jnp.asarray(fixed),
+            lm_iters=12, cg_iters=80)
+
+        mesh = sharded_pgo.make_mesh(8)
+        eis, ejs, Ss, ws = sharded_pgo.shard_edges(ei, ej, S_meas, w, mesh)
+        run = sharded_pgo.make_distributed_pgo(mesh, lm_iters=12, cg_iters=80)
+        out = run(jnp.asarray(S), eis, ejs, Ss, ws, jnp.asarray(fixed))
+
+        assert len(eis.sharding.device_set) == 8
+        # same optimum up to f32/psum reduction-order noise
+        np.testing.assert_allclose(float(out.energy), float(ref.energy),
+                                   rtol=0.05, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(out.S), np.asarray(ref.S),
+                                   atol=2e-3)
+
+    def test_energy_decreases_and_recovers_circle(self):
+        from ldso_tpu.distributed import sharded_pgo
+        from ldso_tpu.loop.posegraph import edge_residual
+        from ldso_tpu.math import lie
+
+        gt, S, ei, ej, S_meas, w, fixed = self._toy_graph(seed=3)
+        mesh = sharded_pgo.make_mesh(8)
+        eis, ejs, Ss, ws = sharded_pgo.shard_edges(ei, ej, S_meas, w, mesh)
+        run = sharded_pgo.make_distributed_pgo(mesh, lm_iters=15, cg_iters=80)
+        out = run(jnp.asarray(S), eis, ejs, Ss, ws, jnp.asarray(fixed))
+        S_opt = np.asarray(out.S)
+
+        def cam_centers(Ss, descale):
+            out = []
+            for Pm in Ss:
+                s = np.linalg.norm(Pm[0, :3]) if descale else 1.0
+                out.append(-(Pm[:3, :3].T / s) @ Pm[:3, 3])
+            return np.stack(out)
+
+        err0 = np.linalg.norm(cam_centers(S, True) - cam_centers(gt, False),
+                              axis=1).mean()
+        err1 = np.linalg.norm(cam_centers(S_opt, True) - cam_centers(gt, False),
+                              axis=1).mean()
+        assert err1 < 0.05 and err1 < 0.2 * err0
+
+
 class TestGraftEntry:
     def test_entry_compiles_and_runs(self):
         import sys as _s, os
