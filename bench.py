@@ -1,11 +1,18 @@
-"""Benchmark: sliding-window BA Gauss-Newton throughput on the device.
+"""Benchmark: end-to-end tracked frames/s on the device.
 
-Prints ONE JSON line: keyframe-optimization throughput in GN iterations
-per second at full production shapes (2048 points x 8-slot window x
-8-pattern = ~100k photometric residuals per iteration), the hottest
-path of the engine (reference analog: FullSystem::optimize, which the
-DSO paper budgets ~10-20 ms/iteration on a desktop CPU at these shapes;
-baseline below is that CPU reference point: ~50 GN iter/s).
+Drives the full engine (FullSystem.add_frame — fused pyramid+track step,
+epipolar trace, keyframe BA/marginalization when triggered) over a
+pre-rendered 640x480 synthetic sequence at production shapes
+(preset "default": 2048 points, 8-slot window, 8-pattern residuals),
+measuring steady-state tracked frames per second. IO and rendering are
+excluded (frames pre-rendered to host RAM).
+
+Baseline: the reference (n-lalanne/LDSO, examples/run_dso_* main loop)
+runs real-time ~30 fps on a desktop i7 with ~6 threads (BASELINE.md
+Runtime row). Target: >=5x on one TPU chip.
+
+Prints ONE JSON line. Secondary fields: per-stage milliseconds and the
+round-1 BA GN-iteration throughput metric for continuity.
 """
 
 import json
@@ -13,10 +20,95 @@ import time
 
 import numpy as np
 
-BASELINE_ITERS_PER_S = 50.0   # reference: ~6 GN iters in ~120 ms per KF (i7 CPU)
+BASELINE_FRAMES_PER_S = 30.0   # reference: realtime ~sensor rate on i7 CPU
+BASELINE_BA_ITERS_PER_S = 50.0  # reference: ~6 GN iters in ~120 ms per KF
 
 
-def main():
+def _render_frames(n_total: int, w=640, h=480, seed=3):
+    """Pre-render the synthetic sequence, cached on disk (IO excluded
+    from timing either way; the cache makes repeat runs fast)."""
+    import os
+
+    from ldso_tpu.io.synthetic import SyntheticDataset
+
+    ds = SyntheticDataset(w=w, h=h, n=n_total, seed=seed,
+                          scene_kind="corridor", traj_kind="forward_arc")
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         f".bench_cache_{w}x{h}_{n_total}_{seed}.npz")
+    if os.path.isfile(cache):
+        z = np.load(cache)
+        imgs = z["imgs"]
+        frames = [(imgs[i], float(i) * 0.05, 1.0) for i in range(n_total)]
+        return ds, frames
+    frames = [ds.get_image(i) for i in range(n_total)]
+    try:
+        np.savez_compressed(cache, imgs=np.stack([f[0] for f in frames]))
+    except OSError:
+        pass
+    return ds, frames
+
+
+def bench_tracked_frames(n_warm: int = 40, n_timed: int = 160):
+    """Headline: async pipelined mode (track ∥ map threads, device
+    dispatch pipelined ahead of the host readback — the TPU analog of
+    the reference's multithreaded realtime mode). Also reports the
+    synchronous fused-step mode (1 dispatch + 1 readback per frame)."""
+    from ldso_tpu.config import preset
+    from ldso_tpu.system import FullSystem
+
+    cfg = preset("default")
+    n_total = n_warm + n_timed
+    ds, frames = _render_frames(n_total)
+
+    def drive(async_mode: bool, depth: int):
+        sys_ = FullSystem(cfg, ds.intrinsics(), ds.w, ds.h,
+                          async_mapping=async_mode, pipeline_depth=depth)
+        stage_ms = {"track": [], "kf": []}
+        try:
+            for i in range(n_warm):
+                img, ts, expo = frames[i]
+                sys_.add_frame(img, ts, expo)
+            sys_.finish_mapping()
+            assert sys_.initialized and not sys_.is_lost, "warmup failed"
+
+            t0 = time.perf_counter()
+            for i in range(n_warm, n_total):
+                img, ts, expo = frames[i]
+                t_a = time.perf_counter()
+                st = sys_.add_frame(img, ts, expo)
+                t_b = time.perf_counter()
+                key = "kf" if st.get("need_kf") else "track"
+                stage_ms[key].append(1e3 * (t_b - t_a))
+                if st.get("status") == "lost":
+                    break
+            sys_.finish_mapping()
+            dt = time.perf_counter() - t0
+            n_done = i - n_warm + 1
+            return dict(
+                frames_per_s=n_done / dt,
+                n_frames=n_done,
+                n_keyframes=len(sys_.kfs),
+                lost=bool(sys_.is_lost),
+                ms_per_tracked_frame=float(np.median(stage_ms["track"]))
+                if stage_ms["track"] else -1.0,
+                ms_per_keyframe=float(np.median(stage_ms["kf"]))
+                if stage_ms["kf"] else -1.0,
+            )
+        finally:
+            sys_.shutdown()
+
+    sync = drive(False, 0)
+    pipe = drive(True, 4)
+    best = pipe if pipe["frames_per_s"] >= sync["frames_per_s"] else sync
+    best = dict(best)
+    best["sync_frames_per_s"] = sync["frames_per_s"]
+    best["pipelined_frames_per_s"] = pipe["frames_per_s"]
+    return best
+
+
+def bench_ba_iters():
+    """Round-1 continuity metric: windowed-BA GN iterations per second at
+    production shapes (~100k residuals/iteration)."""
     import jax
     import jax.numpy as jnp
 
@@ -27,7 +119,7 @@ def main():
     from ldso_tpu.core.window import state_delta
     from ldso_tpu.eval.toys import make_synthetic_window
 
-    cfg = preset("default")   # 2048 points, 8 window slots — production shapes
+    cfg = preset("default")
     win, _ = make_synthetic_window(cfg, w=640, h=480, n_frames=6,
                                    idepth_noise=0.05, pose_noise=0.003)
     F = cfg.shapes.max_frames
@@ -48,24 +140,32 @@ def main():
             jnp.zeros(D, jnp.float32), jnp.float32(1e-5), win.p_valid)
         return apply_step(win, dx, dd), sys.energy
 
-    # warmup / compile
-    w2, E = gn_step(win)
+    w2, _ = gn_step(win)
     jax.block_until_ready(w2)
-
     n = 30
     t0 = time.perf_counter()
     w = win
     for _ in range(n):
-        w, E = gn_step(w)
+        w, _ = gn_step(w)
     jax.block_until_ready(w)
-    dt = time.perf_counter() - t0
-    iters_per_s = n / dt
+    return n / (time.perf_counter() - t0)
 
+
+def main():
+    tracked = bench_tracked_frames()
+    ba_iters = bench_ba_iters()
     print(json.dumps({
-        "metric": "ba_gn_iters_per_s",
-        "value": round(iters_per_s, 2),
-        "unit": "iter/s",
-        "vs_baseline": round(iters_per_s / BASELINE_ITERS_PER_S, 2),
+        "metric": "tracked_frames_per_s",
+        "value": round(tracked["frames_per_s"], 2),
+        "unit": "frame/s",
+        "vs_baseline": round(tracked["frames_per_s"] / BASELINE_FRAMES_PER_S, 2),
+        "n_frames": tracked["n_frames"],
+        "n_keyframes": tracked["n_keyframes"],
+        "lost": tracked["lost"],
+        "ms_per_tracked_frame": round(tracked["ms_per_tracked_frame"], 2),
+        "ms_per_keyframe": round(tracked["ms_per_keyframe"], 2),
+        "ba_gn_iters_per_s": round(ba_iters, 2),
+        "ba_vs_baseline": round(ba_iters / BASELINE_BA_ITERS_PER_S, 2),
     }))
 
 

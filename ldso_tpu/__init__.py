@@ -17,3 +17,32 @@ Design stance (see SURVEY.md §7.0):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _setup_compile_cache():
+    """Enable JAX's persistent compilation cache by default.
+
+    On this engine's target deployment the TPU compiler sits behind a
+    remote-compile tunnel at 1-70 s per program, so cold-start compiles
+    dominate short runs; the persistent cache turns every program after
+    the first process into a ~0.3 s disk hit (measured). Opt out with
+    LDSO_NO_COMPILE_CACHE=1; an externally-set JAX_COMPILATION_CACHE_DIR
+    wins.
+    """
+    if _os.environ.get("LDSO_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        path = _os.environ.get("JAX_COMPILATION_CACHE_DIR") or \
+            _os.path.expanduser("~/.cache/ldso_tpu/jax")
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:          # never break import over a cache nicety
+        pass
+
+
+_setup_compile_cache()

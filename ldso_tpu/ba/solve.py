@@ -83,11 +83,13 @@ def scale_nullspace(win: Window, anchor_slot: int) -> jnp.ndarray:
     t = lie.translation(win.T_eval)
     slot = max(anchor_slot, 0)
     C0 = -jnp.einsum("ji,j->i", R[slot], t[slot], precision=_HI)  # anchor center
-    rows = t + jnp.einsum("fij,j->fi", R, C0, precision=_HI)      # [F, 3]
+    rows = (t + jnp.einsum("fij,j->fi", R, C0, precision=_HI)) \
+        .astype(win.x.dtype)                                      # [F, 3]
     N = jnp.zeros(D, dtype=win.x.dtype)
     for i in range(F):
         N = N.at[8 * i : 8 * i + 3].set(
-            jnp.where(win.frame_valid[i] & (i != slot), rows[i], jnp.zeros(3))
+            jnp.where(win.frame_valid[i] & (i != slot), rows[i],
+                      jnp.zeros(3, win.x.dtype))
         )
     return N
 
@@ -217,7 +219,7 @@ def run_ba(
             HM_j, bM_j, state_delta(win), p_diag,
             s_vec, fixed, N_scale, jnp.float32(lam), win.p_valid,
         )
-        win_try = apply_step(win, dx, dd)
+        win_try = apply_step(win, dx, cfg.scales.idepth * dd)
         step_size = float(jnp.max(jnp.abs(dx)))
 
         if force_accept:

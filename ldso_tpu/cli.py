@@ -28,11 +28,15 @@ def _build_system(args, ds):
         cfg = cfg.replace(seed=args.seed)
     img0, _, _ = ds.get_image(0)
     h, w = img0.shape
-    system = FullSystem(cfg, ds.intrinsics(), w, h)
-    if args.loop_closing:
-        from ldso_tpu.loop.closing import LoopClosing
+    system = FullSystem(cfg, ds.intrinsics(), w, h,
+                        async_mapping=bool(args.async_pipeline))
+    if args.loop_closing and cfg.loop.enabled:
+        if args.async_pipeline:
+            from ldso_tpu.loop.closing import AsyncLoopClosing as LC
+        else:
+            from ldso_tpu.loop.closing import LoopClosing as LC
 
-        lc = LoopClosing(cfg, ds.intrinsics())
+        lc = LC(cfg, ds.intrinsics())
         system.on_keyframe = lc.on_keyframe
         system.loop_closing = lc
     return system
@@ -48,9 +52,26 @@ def cmd_run(args) -> int:
     end = args.end if args.end > 0 else ds.num_frames
     if args.frames > 0:
         end = args.start + args.frames
+    order = list(range(args.start, min(end, ds.num_frames)))
+    if args.reverse:                      # reference: TUM runner reverse play
+        order = order[::-1]
+
     t0 = time.time()
     n_done = 0
-    for i in range(args.start, min(end, ds.num_frames)):
+    n_skipped = 0
+    for k, i in enumerate(order):
+        # realtime pacing + frame skip (reference: preset=1 playbackSpeed
+        # enforcement in examples/run_dso_*.cc — when the engine falls
+        # behind the sensor clock, frames are dropped, not queued)
+        if args.playback_speed > 0 and k > 0:
+            due = abs(ds.get_image(i)[1] - ds.get_image(order[0])[1]) \
+                / args.playback_speed
+            now = time.time() - t0
+            if now > due + args.skip_slack:
+                n_skipped += 1
+                continue
+            if now < due:
+                time.sleep(due - now)
         img, ts, exp = ds.get_image(i)
         st = system.add_frame(img, ts, exp)
         n_done += 1
@@ -59,7 +80,11 @@ def cmd_run(args) -> int:
                   file=sys.stderr)
         if st["status"] == "lost":
             print(f"tracking LOST at frame {i}", file=sys.stderr)
-            break
+            if not args.relocalize:
+                break
+    system.finish_mapping()
+    if system.loop_closing is not None and hasattr(system.loop_closing, "finish"):
+        system.loop_closing.finish()
     wall = time.time() - t0
 
     ts_arr, poses = system.export_trajectory()
@@ -69,7 +94,20 @@ def cmd_run(args) -> int:
     if args.metrics:
         system.write_metrics(args.metrics)
 
-    summary = dict(frames=n_done, fps=round(n_done / max(wall, 1e-9), 2),
+    if args.viz:
+        from ldso_tpu import viz
+
+        np_gt = None
+        if hasattr(ds, "gt_pose_c_w") and len(poses) > 1:
+            ids = [fr.frame_id for fr in system.frames][: len(poses)]
+            np_gt = np.stack([ds.gt_pose_c_w(i) for i in ids])
+        viz.dump_trajectory(args.viz, poses, np_gt)
+        n_pts = viz.dump_map(args.viz, system)
+        print(f"viz: wrote trajectory + {n_pts}-point map -> {args.viz}",
+              file=sys.stderr)
+
+    summary = dict(frames=n_done, skipped=n_skipped,
+                   fps=round(n_done / max(wall, 1e-9), 2),
                    keyframes=len(system.kfs), lost=system.is_lost)
     if hasattr(ds, "gt_pose_c_w") and len(poses) > 3:
         ids = [fr.frame_id for fr in system.frames][: len(poses)]
@@ -99,6 +137,22 @@ def main(argv=None) -> int:
                    help="TUM-format trajectory output")
     r.add_argument("--metrics", default="", help="JSONL per-frame metrics")
     r.add_argument("--loop-closing", type=int, default=1)
+    r.add_argument("--async", dest="async_pipeline", type=int, default=0,
+                   help="1 = track ∥ map ∥ loop pipeline (reference thread model)")
+    r.add_argument("--playback-speed", type=float, default=0.0,
+                   help=">0 enforces realtime pacing at this multiple of "
+                        "sensor rate, dropping frames when behind "
+                        "(reference preset=1)")
+    r.add_argument("--skip-slack", type=float, default=0.05,
+                   help="seconds of lateness tolerated before skipping")
+    r.add_argument("--reverse", action="store_true",
+                   help="play the sequence backwards (reference TUM runner)")
+    r.add_argument("--relocalize", type=int, default=1,
+                   help="keep feeding frames after tracking loss and let "
+                        "BoW relocalization recover (0 = stop like the "
+                        "reference)")
+    r.add_argument("--viz", default="",
+                   help="directory for offline trajectory/map/depth dumps")
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--verbose", action="store_true")
     r.set_defaults(fn=cmd_run)

@@ -78,6 +78,13 @@ class SelectorConfig:
     grad_down_weight_per_level: float = 0.75  # setting_gradDownweightPerLevel
     desired_immature_density: float = 1500.0  # setting_desiredImmatureDensity
     desired_point_density: float = 2000.0     # setting_desiredPointDensity
+    # LDSO's corner bias (FeatureDetector.cc): a fraction of new
+    # candidates come from FAST/Shi-Tomasi corners so loop-closure
+    # features inherit point depths
+    corner_fraction: float = 0.3
+    # activation spacing (reference: CoarseDistanceMap + currentMinActDist,
+    # adapted 0..4 by point-density feedback; units = level-1 pixels)
+    min_act_dist: float = 2.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -114,8 +121,9 @@ class BAConfig:
     min_idepth_hessian: float = 100.0  # activation/marginalization gate (idepth well-constrained)
     min_rel_baseline: float = 0.4      # maxRelBaseline gate for marginalizing vs dropping
     # priors — reference: setting_initialTransPrior etc. applied to first KF / camera
+    # (the reference's 1e10 soft first-frame prior is replaced by a HARD
+    # anchor fix in ba/solve.py's fix_mask — same gauge, better conditioning)
     intrinsics_prior: float = 1e6      # soft prior pinning fx fy cx cy near calib
-    first_frame_prior: float = 1e10    # gauge fix on first KF pose
     affine_prior_a: float = 1e3        # setting_affineOptModeA (λ prior on a)
     affine_prior_b: float = 1e1        # setting_affineOptModeB (λ prior on b)
     step_break_th: float = 1e-4        # "canbreak" increment threshold

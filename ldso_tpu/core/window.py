@@ -119,14 +119,15 @@ def insert_frame(
 
     The new frame's evaluation point is its initial pose; pose state and
     FEJ state start at zero (reference: FrameHessian::setEvalPT_scaled)."""
-    x0 = jnp.zeros(8, jnp.float32).at[6].set(aff_ab[0]).at[7].set(aff_ab[1])
+    x0 = jnp.zeros(8, jnp.float32) \
+        .at[6].set(jnp.float32(aff_ab[0])).at[7].set(jnp.float32(aff_ab[1]))
     return win._replace(
         frame_valid=win.frame_valid.at[slot].set(True),
         T_eval=win.T_eval.at[slot].set(jnp.asarray(T_init, jnp.float32)),
         x=win.x.at[slot].set(x0),
         x_zero=win.x_zero.at[slot].set(x0),
-        exposure=win.exposure.at[slot].set(exposure),
-        images=win.images.at[slot].set(image),
+        exposure=win.exposure.at[slot].set(jnp.float32(exposure)),
+        images=win.images.at[slot].set(jnp.asarray(image, jnp.float32)),
     )
 
 
@@ -143,7 +144,7 @@ def remove_frame(win: Window, slot: int) -> Window:
 
 def add_points(
     win: Window,
-    slots: np.ndarray,        # [K] point-bank slots to fill
+    slots: np.ndarray,        # [K] point-bank slots to fill (entry >= P drops)
     host_slot: int,
     uv: np.ndarray,           # [K, 2]
     color: np.ndarray,        # [K, 8]
@@ -152,19 +153,27 @@ def add_points(
 ) -> Window:
     """Activate points into bank slots; residuals toward all other valid
     frames are switched on (reference: FullSystem::activatePointsMT →
-    ef->insertResidual for every other KF)."""
+    ef->insertResidual for every other KF).
+
+    Scatters use mode="drop": callers pad ``slots`` with the capacity
+    index so every call has ONE static shape — data-dependent shapes
+    would force a device recompile per batch size (fatal on a
+    remote-compile TPU tunnel)."""
     slots = jnp.asarray(slots)
     targets = win.frame_valid.at[host_slot].set(False)  # all valid frames except host
     res_rows = jnp.broadcast_to(targets, (slots.shape[0], win.num_frames))
+    idep = jnp.asarray(idepth, jnp.float32)
     return win._replace(
-        p_valid=win.p_valid.at[slots].set(True),
-        p_host=win.p_host.at[slots].set(host_slot),
-        p_uv=win.p_uv.at[slots].set(jnp.asarray(uv, jnp.float32)),
-        p_color=win.p_color.at[slots].set(jnp.asarray(color, jnp.float32)),
-        p_weight=win.p_weight.at[slots].set(jnp.asarray(weight, jnp.float32)),
-        p_idepth=win.p_idepth.at[slots].set(jnp.asarray(idepth, jnp.float32)),
-        p_idepth_zero=win.p_idepth_zero.at[slots].set(jnp.asarray(idepth, jnp.float32)),
-        res_mask=win.res_mask.at[slots].set(res_rows),
+        p_valid=win.p_valid.at[slots].set(True, mode="drop"),
+        p_host=win.p_host.at[slots].set(host_slot, mode="drop"),
+        p_uv=win.p_uv.at[slots].set(jnp.asarray(uv, jnp.float32), mode="drop"),
+        p_color=win.p_color.at[slots].set(jnp.asarray(color, jnp.float32),
+                                          mode="drop"),
+        p_weight=win.p_weight.at[slots].set(jnp.asarray(weight, jnp.float32),
+                                            mode="drop"),
+        p_idepth=win.p_idepth.at[slots].set(idep, mode="drop"),
+        p_idepth_zero=win.p_idepth_zero.at[slots].set(idep, mode="drop"),
+        res_mask=win.res_mask.at[slots].set(res_rows, mode="drop"),
     )
 
 

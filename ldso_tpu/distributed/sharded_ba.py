@@ -31,23 +31,25 @@ from ldso_tpu.core.window import Window, state_delta
 
 _HI = jax.lax.Precision.HIGHEST
 
-AXIS = "points"   # mesh axis name the landmark bank is sharded over
+AXIS = "points"   # 1-D mesh axis name the landmark bank is sharded over
 
 
-def window_pspecs(win: Window) -> Window:
+def window_pspecs(win: Window, axes=AXIS) -> Window:
     """PartitionSpec pytree for a Window: point-indexed arrays sharded on
-    the point axis, frame/camera state replicated."""
+    the given mesh axis (or axis tuple — e.g. ("dcn", "ici") to spread
+    points over hosts × chips), frame/camera state replicated."""
+    pa = P(axes)
     return Window(
         frame_valid=P(), T_eval=P(), x=P(), x_zero=P(), exposure=P(),
         images=P(), c=P(), c_zero=P(),
-        p_valid=P(AXIS), p_host=P(AXIS), p_uv=P(AXIS), p_color=P(AXIS),
-        p_weight=P(AXIS), p_idepth=P(AXIS), p_idepth_zero=P(AXIS),
-        res_mask=P(AXIS),
+        p_valid=pa, p_host=pa, p_uv=pa, p_color=pa,
+        p_weight=pa, p_idepth=pa, p_idepth_zero=pa,
+        res_mask=pa,
     )
 
 
 def _local_gn_step(win: Window, HM, bM, prior_d, scale_vec, fixed, lam,
-                   huber_th: float, outlier_sum: float):
+                   huber_th: float, outlier_sum: float, axes=AXIS):
     """One GN step, executed per shard inside shard_map: local residual
     linearization + local Schur elimination, one psum, replicated solve,
     local backsubstitution. Returns (dx [D] replicated, dd [P_local])."""
@@ -61,10 +63,11 @@ def _local_gn_step(win: Window, HM, bM, prior_d, scale_vec, fixed, lam,
     H_sc = jnp.matmul(sys.H_xd.T, sys.H_xd * inv_dd[:, None], precision=_HI)
     b_sc = jnp.matmul(sys.H_xd.T, sys.b_d * inv_dd, precision=_HI)
 
-    # ONE collective: stacked (H, H_sc) + (b, b_sc, energy) psum over ICI
-    HH = jax.lax.psum(jnp.stack([sys.H, H_sc]), AXIS)
+    # ONE collective: stacked (H, H_sc) + (b, b_sc, energy) psum — over
+    # ICI on a 1-D mesh, hierarchically ICI-then-DCN on a (dcn, ici) mesh
+    HH = jax.lax.psum(jnp.stack([sys.H, H_sc]), axes)
     bb = jax.lax.psum(jnp.concatenate([sys.b, b_sc,
-                                       sys.energy[None]]), AXIS)
+                                       sys.energy[None]]), axes)
     D = sys.H.shape[0]
     b_sum, bsc_sum, E = bb[:D], bb[D:2 * D], bb[2 * D]
 
@@ -106,13 +109,16 @@ def make_distributed_ba_step(mesh: Mesh, cfg: LdsoConfig,
     s_vec = jnp.asarray(scale_vector(F, cfg.scales))
     fixed = jnp.asarray(fix_mask(F, 0))
 
-    pspec = window_pspecs(None)  # field specs only; window not needed
+    axes = tuple(mesh.axis_names)
+    axes = axes[0] if len(axes) == 1 else axes
+    pspec = window_pspecs(None, axes)  # field specs only; window not needed
 
     sharded = jax.shard_map(
-        functools.partial(_local_gn_step, huber_th=huber, outlier_sum=osum),
+        functools.partial(_local_gn_step, huber_th=huber, outlier_sum=osum,
+                          axes=axes),
         mesh=mesh,
         in_specs=(pspec, P(), P(), P(), P(), P(), P()),
-        out_specs=(P(), P(AXIS), P()),
+        out_specs=(P(), P(axes), P()),
         check_vma=False,
     )
 
@@ -133,7 +139,8 @@ def make_distributed_ba_step(mesh: Mesh, cfg: LdsoConfig,
 
 def shard_window(win: Window, mesh: Mesh) -> Window:
     """Place a Window on the mesh with the point axis sharded."""
-    specs = window_pspecs(win)
+    axes = tuple(mesh.axis_names)
+    specs = window_pspecs(win, axes[0] if len(axes) == 1 else axes)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, jax.sharding.NamedSharding(mesh, s)),
         win, specs)

@@ -49,6 +49,13 @@ def ate_rmse(
     est_positions, gt_positions: [N, 3] matched by index.
     Returns (rmse, per-frame residual norms)."""
     assert est_positions.shape == gt_positions.shape
+    finite = np.isfinite(est_positions).all(axis=1) \
+        & np.isfinite(gt_positions).all(axis=1)
+    if not finite.all():            # degenerate poses (lost segments)
+        est_positions = est_positions[finite]
+        gt_positions = gt_positions[finite]
+        if len(est_positions) < 3:
+            return float("inf"), np.full(int(finite.sum()), np.inf)
     s, R, t = umeyama(est_positions, gt_positions, with_scale)
     aligned = (s * (R @ est_positions.T)).T + t
     err = np.linalg.norm(aligned - gt_positions, axis=1)

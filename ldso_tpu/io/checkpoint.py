@@ -31,8 +31,8 @@ def save_checkpoint(system, path: str) -> None:
     arrays["HM"] = system.HM
     arrays["bM"] = system.bM
     bank = system.immatures
-    for f in ("valid", "host_slot", "uv", "color", "weight", "idepth_min",
-              "idepth_max", "quality", "last_status", "outlier_count"):
+    from ldso_tpu.core.bank import Bank as _Bank
+    for f in _Bank._fields:
         arrays[f"imm_{f}"] = getattr(bank, f)
     if system.T_last_cw is not None:
         arrays["T_last_cw"] = system.T_last_cw
@@ -86,10 +86,13 @@ def load_checkpoint(path: str, cfg) -> "FullSystem":
     system.win = Window(**win_fields)
     system.HM = data["HM"]
     system.bM = data["bM"]
-    bank = system.immatures
-    for fld in ("valid", "host_slot", "uv", "color", "weight", "idepth_min",
-                "idepth_max", "quality", "last_status", "outlier_count"):
-        setattr(bank, fld, data[f"imm_{fld}"])
+    bank = system.immatures     # host snapshot of the device bank
+    from ldso_tpu.core.bank import Bank as _Bank
+    for fld in _Bank._fields:
+        if f"imm_{fld}" in data:      # older checkpoints may miss new fields
+            setattr(bank, fld, data[f"imm_{fld}"])
+    from ldso_tpu.core import bank as bank_mod
+    system.bank = bank_mod.from_host(bank)
     system.slot_kf = [None if s < 0 else s for s in meta["slot_kf"]]
     system.kfs = {}
     for k, v in meta["kfs"].items():

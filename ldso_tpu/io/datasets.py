@@ -152,7 +152,7 @@ def _decode_pgm(data: bytes) -> np.ndarray:
         dt = np.uint8 if maxval < 256 else ">u2"
         img = np.frombuffer(raw[: w * h * np.dtype(dt).itemsize], dt)
         return img.reshape(h, w).astype(np.float32) * (255.0 / maxval)
-    vals = np.fromstring(parts[4], sep=" ")  # pragma: no cover
+    vals = np.array(parts[4].split(), dtype=np.float64)  # pragma: no cover
     return vals.reshape(h, w).astype(np.float32) * (255.0 / maxval)
 
 
@@ -218,6 +218,41 @@ class _FilePrefetchMixin:
         return decode_image(open(self._names[i], "rb").read(), self._names[i])
 
 
+class _ZipPrefetcher:
+    """Threaded look-ahead decode for zip-packed sequences: the feed
+    thread asks for frame i while workers read+decode frames i+1..i+K in
+    the background (the zip handle is guarded; decode runs unlocked).
+    This is the TUM-zip analog of the native file prefetcher — the
+    reference decodes synchronously on its feed thread
+    (examples/run_dso_tum_mono.cc main loop)."""
+
+    def __init__(self, zf: zipfile.ZipFile, names: List[str], depth: int = 4):
+        import concurrent.futures
+        import threading
+
+        self._zf = zf
+        self._names = names
+        self._depth = depth
+        self._lock = threading.Lock()
+        self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=2)
+        self._futures: dict = {}
+
+    def _load(self, i: int) -> np.ndarray:
+        with self._lock:
+            data = self._zf.read(self._names[i])
+        return decode_image(data, self._names[i])
+
+    def get(self, i: int) -> np.ndarray:
+        fut = self._futures.pop(i, None)
+        # schedule look-ahead
+        for j in range(i + 1, min(i + 1 + self._depth, len(self._names))):
+            if j not in self._futures:
+                self._futures[j] = self._pool.submit(self._load, j)
+        if fut is not None:
+            return fut.result()
+        return self._load(i)
+
+
 class TumMonoDataset(_BaseReader):
     """TUM monoVO layout: images.zip (or images/), times.txt with
     exposures, camera.txt, pcalib.txt, vignette.png
@@ -270,11 +305,12 @@ class TumMonoDataset(_BaseReader):
 
     def get_image(self, i: int):
         if self._zip is not None:
-            data = self._zip.read(self._names[i])
+            if not hasattr(self, "_zpf"):
+                self._zpf = _ZipPrefetcher(self._zip, self._names)
+            raw = self._zpf.get(i)
         else:
             with open(self._names[i], "rb") as f:
-                data = f.read()
-        raw = decode_image(data, self._names[i])
+                raw = decode_image(f.read(), self._names[i])
         return self._process(raw), float(self._ts[i]), float(self._exp[i])
 
 
@@ -293,7 +329,7 @@ class KittiDataset(_FilePrefetchMixin, _BaseReader):
         with open(os.path.join(seq_path, "calib.txt")) as f:
             for line in f:
                 if line.startswith("P0"):
-                    v = np.fromstring(line.split(":", 1)[1], sep=" ")
+                    v = np.array(line.split(":", 1)[1].split(), dtype=np.float64)
                     fx, cx, fy, cy = v[0], v[2], v[5], v[6]
                     break
         img0 = decode_image(open(self._names[0], "rb").read())

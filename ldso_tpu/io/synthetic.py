@@ -170,11 +170,19 @@ def make_scene(seed: int = 0, kind: str = "corridor") -> SyntheticScene:
 # ---------------------------------------------------------------------------
 
 
+def _np_so3_exp(w: np.ndarray) -> np.ndarray:
+    """Rodrigues in pure numpy (keeps the data generator off the device —
+    eager device ops cost a remote compile each on the TPU tunnel)."""
+    th = np.linalg.norm(w)
+    if th < 1e-12:
+        return np.eye(3)
+    k = w / th
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
+
 def trajectory(n: int, kind: str = "forward_arc", step: float = 0.06) -> np.ndarray:
     """[N, 4, 4] camera-to-world poses."""
-    from ldso_tpu.math import lie  # local import: numpy-only module otherwise
-    import jax.numpy as jnp
-
     Ts = []
     for i in range(n):
         s = i * step
@@ -183,7 +191,7 @@ def trajectory(n: int, kind: str = "forward_arc", step: float = 0.06) -> np.ndar
             yaw = 0.04 * np.sin(0.1 * i)
             pitch = 0.02 * np.sin(0.13 * i + 1.0)
             xi = np.concatenate([np.zeros(3), [pitch, yaw, 0.0]])
-            R = np.asarray(lie.so3_exp(jnp.asarray(xi[3:])))
+            R = _np_so3_exp(xi[3:])
         elif kind == "lateral":
             t = np.array([s, 0.0, 0.02 * i])
             R = np.eye(3)
@@ -191,7 +199,7 @@ def trajectory(n: int, kind: str = "forward_arc", step: float = 0.06) -> np.ndar
             th = 2 * np.pi * i / n
             rad = 2.0
             t = np.array([rad * np.sin(th), 0.0, rad * (1 - np.cos(th))])
-            R = np.asarray(lie.so3_exp(jnp.asarray([0.0, th, 0.0])))
+            R = _np_so3_exp(np.array([0.0, th, 0.0]))
         elif kind == "out_and_back":
             # drive forward for half the frames, then return along the same
             # path facing the SAME direction (revisits earlier views — the

@@ -205,3 +205,111 @@ class KeyframeDatabase:
             keep = ids < exclude_above
             ids, scores = ids[keep], scores[keep]
         return ids, scores
+
+
+# ---------------------------------------------------------------------------
+# DBoW text-format converter (SURVEY.md Appendix B / §7.2 risk 7)
+# ---------------------------------------------------------------------------
+#
+# The public ORB vocabularies (ORBvoc.txt of ORB-SLAM2, convertible from
+# the reference's vocab/orbvoc.dbow3) use the DBoW2/3 text format:
+#   line 0:  k L scoring_type weighting_type
+#   line i:  parent_id is_leaf b0 b1 ... b31 weight
+# with nodes listed so that node ids are 1..N in file order, node 0 the
+# implicit root, `parent_id` a file node id, and `weight` the tf-idf
+# weight of leaves. The loader folds that pointer tree into this
+# module's dense per-level table layout (node (l, i) has children
+# (l+1, i*k .. i*k+k-1)); sub-branching nodes are padded invalid and
+# early leaves are propagated down a single-child chain to the leaf
+# level so every descriptor resolves to one final-level leaf.
+
+
+def load_vocabulary_text(text: str,
+                         truncate_levels: Optional[int] = None) -> Vocabulary:
+    """Parse a DBoW2/DBoW3 text vocabulary into a :class:`Vocabulary`.
+
+    ``truncate_levels``: cap the tree depth (public ORB vocabs are
+    k=10, L=6 → 10⁶ leaves; the dense-signature pipeline wants ≤ ~10⁴
+    leaves, so L is typically truncated to 3-4; truncated subtrees
+    become leaves carrying their subtree's summed weight)."""
+    lines = [l.split() for l in text.strip().splitlines() if l.strip()]
+    k, L_file = int(lines[0][0]), int(lines[0][1])
+    L = min(L_file, truncate_levels) if truncate_levels else L_file
+    n = len(lines) - 1
+    parent = np.zeros(n + 1, np.int64)
+    is_leaf = np.zeros(n + 1, bool)
+    desc = np.zeros((n + 1, DESC_BYTES), np.uint8)
+    weight = np.zeros(n + 1, np.float64)
+    children: dict = {}
+    for i, row in enumerate(lines[1:], start=1):
+        parent[i] = int(row[0])
+        is_leaf[i] = bool(int(float(row[1])))
+        desc[i] = np.asarray([int(float(x)) for x in row[2:2 + DESC_BYTES]],
+                             np.uint8)
+        weight[i] = float(row[2 + DESC_BYTES])
+        children.setdefault(int(row[0]), []).append(i)
+
+    def subtree_weight(node: int) -> float:
+        kids = children.get(node, [])
+        if not kids:
+            return float(weight[node])
+        return float(sum(subtree_weight(c) for c in kids))
+
+    tables = [np.zeros((k ** (l + 1), 8 * DESC_BYTES), np.float32)
+              for l in range(L)]
+    valids = [np.zeros(k ** (l + 1), bool) for l in range(L)]
+    idf = np.zeros(k ** L, np.float64)
+
+    def bits(d: np.ndarray) -> np.ndarray:
+        return np.unpackbits(d, bitorder="little").astype(np.float32)
+
+    def place_leaf(lvl: int, didx: int, node: int, w: float) -> None:
+        """Propagate a leaf down a child-0 chain to the final level."""
+        dd = didx
+        for l2 in range(lvl + 1, L):
+            dd = dd * k
+            tables[l2][dd] = bits(desc[node])
+            valids[l2][dd] = True
+        idf[dd] = w             # dd == didx when the leaf is final-level
+
+    stack = [(0, -1, 0)]        # (file node, level, dense index)
+    while stack:
+        fnode, lvl, didx = stack.pop()
+        for ci, kid in enumerate(children.get(fnode, [])[:k]):
+            kd = didx * k + ci
+            tables[lvl + 1][kd] = bits(desc[kid])
+            valids[lvl + 1][kd] = True
+            if lvl + 1 == L - 1 or is_leaf[kid] or kid not in children:
+                place_leaf(lvl + 1, kd, kid,
+                           subtree_weight(kid) if lvl + 1 < L_file else
+                           float(weight[kid]))
+            else:
+                stack.append((kid, lvl + 1, kd))
+
+    return Vocabulary(
+        tables=tuple(jnp.asarray(_pack(t)) for t in tables),
+        table_valid=tuple(jnp.asarray(v) for v in valids),
+        k=k, levels=L, idf=jnp.asarray(idf.astype(np.float32)),
+    )
+
+
+def save_vocabulary_text(vocab: Vocabulary) -> str:
+    """Serialize to the DBoW text format (round-trips with the loader;
+    also lets a trained vocabulary be inspected with DBoW tooling)."""
+    k, L = vocab.k, vocab.levels
+    lines = [f"{k} {L} 0 0"]
+    file_id = {(-1, 0): 0}      # (level, dense idx) -> file node id
+    next_id = 1
+    for l in range(L):
+        tab = np.asarray(vocab.tables[l])
+        val = np.asarray(vocab.table_valid[l])
+        idf = np.asarray(vocab.idf)
+        for i in np.flatnonzero(val):
+            file_id[(l, int(i))] = next_id
+            parent = file_id[(l - 1, int(i) // k)]
+            leaf = 1 if l == L - 1 else 0
+            w = float(idf[int(i)]) if leaf else 0.0
+            d = " ".join(str(int(b)) for b in tab[int(i)])
+            lines.append(f"{parent} {leaf} {d} {w:.6f}")
+            next_id += 1
+    return "\n".join(lines) + "\n"

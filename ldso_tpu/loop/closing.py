@@ -91,13 +91,21 @@ class LoopClosing:
     # ------------------------------------------------------------------
 
     def on_keyframe(self, system, kf, pyr) -> Optional[dict]:
-        """Per-new-KF hook (reference: InsertKeyFrame + Run loop body)."""
+        """Per-new-KF hook (reference: InsertKeyFrame + Run loop body).
+
+        Synchronous variant: detect + close inline. The async variant
+        (:class:`AsyncLoopClosing`) snapshots the same inputs and runs
+        :meth:`_process` on a worker thread."""
+        win, slot = system.win, kf.slot      # consistent snapshot (pytree ref)
+        return self._process(system, kf, pyr[0], win, slot)
+
+    def _process(self, system, kf, pyr0, win, slot) -> Optional[dict]:
         cfg = self.cfg
-        feats = orb.detect(pyr[0], max_features=cfg.loop.max_features,
+        feats = orb.detect(pyr0, max_features=cfg.loop.max_features,
                            fast_th=cfg.loop.orb_fast_th)
         uv_np = np.asarray(feats.uv)
         pt_uv, pt_idep, _, pt_valid = (np.asarray(a) for a in
-                                       self._points_in_kf(system, kf))
+                                       self._points_in_kf(win, slot))
         X, ok = _assign_depth(uv_np, pt_uv, pt_idep, pt_valid, self.intr)
         ok &= np.asarray(feats.valid)
         snap = KFSnapshot(kf.kf_id, feats, None, X, ok)
@@ -115,9 +123,9 @@ class LoopClosing:
         self.db.add(kf.kf_id, snap.bow_vec)
         return result
 
-    def _points_in_kf(self, system, kf):
+    def _points_in_kf(self, win, slot):
         from ldso_tpu.system import _project_points_to_slot
-        return _project_points_to_slot(system.win, jnp.asarray(kf.slot))
+        return _project_points_to_slot(win, jnp.asarray(slot))
 
     def _train_vocab(self):
         descs, valids = [], []
@@ -207,9 +215,10 @@ class LoopClosing:
         # as a pose constraint, S_cur_w = S_cur_cand · S_cand_w
         S_cur_cand = np.asarray(rf.S_ab, np.float64)
         from ldso_tpu.system import PoseEdge
-        system.pose_edges.append(PoseEdge(
-            kf.kf_id, cand_id, S_cur_cand, kind="loop",
-            scale=float(lie.sim3_scale(jnp.asarray(S_cur_cand)))))
+        with system.state_lock:
+            system.pose_edges.append(PoseEdge(
+                kf.kf_id, cand_id, S_cur_cand, kind="loop",
+                scale=float(lie.sim3_scale(jnp.asarray(S_cur_cand)))))
         self.loops_closed.append((kf.kf_id, cand_id, S_cur_cand))
         self._consistency.clear()
 
@@ -273,34 +282,112 @@ class LoopClosing:
     def run_pose_graph(self, system) -> None:
         """reference: Map::OptimizeALLKFs — window KFs + first KF fixed;
         optimized Sim3 poses written back to the (out-of-window) KF
-        registry only."""
+        registry only. Snapshot under the system state lock; optimize
+        lock-free; write back under the lock, skipping any KF that
+        (re-)entered the window meanwhile."""
         cfg = self.cfg
-        kf_ids = sorted(system.kfs.keys())
-        if len(kf_ids) < 3:
-            return
-        kf_index = {k: i for i, k in enumerate(kf_ids)}
-        K = len(kf_ids)
-        S = np.stack([np.asarray(system.kfs[k].T_cw, np.float64)
-                      for k in kf_ids])
-        fixed = np.zeros(K, bool)
-        fixed[0] = True
-        for k in kf_ids:
-            if system.kfs[k].in_window:
-                fixed[kf_index[k]] = True
+        with system.state_lock:
+            kf_ids = sorted(system.kfs.keys())
+            if len(kf_ids) < 3:
+                return
+            kf_index = {k: i for i, k in enumerate(kf_ids)}
+            K = len(kf_ids)
+            S = np.stack([np.asarray(system.kfs[k].T_cw, np.float64)
+                          for k in kf_ids])
+            fixed = np.zeros(K, bool)
+            fixed[0] = True
+            for k in kf_ids:
+                if system.kfs[k].in_window:
+                    fixed[kf_index[k]] = True
+            edges = list(system.pose_edges)
 
         # static edge capacity: next power of two over the edge count
-        n_e = len(system.pose_edges)
+        n_e = len(edges)
         cap = 1 << max(4, (n_e - 1).bit_length())
-        ei, ej, S_meas, w = posegraph.build_edges(system.pose_edges,
-                                                  kf_index, cap)
+        ei, ej, S_meas, w = posegraph.build_edges(edges, kf_index, cap)
         out = posegraph.optimize_pose_graph(
             jnp.asarray(S), jnp.asarray(ei), jnp.asarray(ej),
             jnp.asarray(S_meas), jnp.asarray(w), jnp.asarray(fixed),
             lm_iters=cfg.loop.pgo_iterations)
         S_opt = np.asarray(out.S)
-        for k in kf_ids:
-            i = kf_index[k]
-            if not fixed[i]:
-                # strip scale into translation (Sim3 → SE3 for export)
-                system.kfs[k].T_cw = np.asarray(
-                    lie.sim3_to_se3(jnp.asarray(S_opt[i])), np.float64)
+        with system.state_lock:
+            for k in kf_ids:
+                i = kf_index[k]
+                if not fixed[i] and not system.kfs[k].in_window:
+                    # strip scale into translation (Sim3 → SE3 for export)
+                    system.kfs[k].T_cw = np.asarray(
+                        lie.sim3_to_se3(jnp.asarray(S_opt[i])), np.float64)
+
+
+class AsyncLoopClosing(LoopClosing):
+    """Background loop-closure worker (reference: the LoopClosing thread
+    spawned in FullSystem's ctor, src/frontend/LoopClosing.cc:~L40, plus
+    Map::OptimizeALLKFs' detached PGO thread): keyframes are snapshotted
+    at the mapping boundary and processed — ORB, BoW, matching, Sim3
+    RANSAC/refine, pose-graph — off the tracking/mapping path. Device
+    programs dispatched here interleave with the tracker's on the
+    accelerator stream; all host work overlaps.
+
+    Write-backs (pose edges, optimized out-of-window KF poses) go through
+    ``system.state_lock`` exactly like the synchronous variant.
+    """
+
+    def __init__(self, *args, **kw):
+        super().__init__(*args, **kw)
+        import collections
+        import threading
+        self._queue = collections.deque()
+        self._cv = threading.Condition()
+        self._busy = False
+        self._running = True
+        self._exc = None
+        self.results: List[dict] = []
+        self._thread = threading.Thread(target=self._worker,
+                                        name="ldso-loop", daemon=True)
+        self._thread.start()
+
+    def on_keyframe(self, system, kf, pyr):
+        """Snapshot (win pytree ref + slot) now; process on the worker."""
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
+        with self._cv:
+            self._queue.append((system, kf, pyr[0], system.win, kf.slot))
+            self._cv.notify_all()
+        return None
+
+    def _worker(self):
+        while True:
+            with self._cv:
+                while not self._queue and self._running:
+                    self._cv.wait()
+                if not self._queue and not self._running:
+                    return
+                item = self._queue.popleft()
+                self._busy = True
+            try:
+                r = self._process(*item)
+                if r is not None:
+                    self.results.append(r)
+            except BaseException as e:
+                self._exc = e
+            finally:
+                with self._cv:
+                    self._busy = False
+                    self._cv.notify_all()
+
+    def finish(self):
+        """Drain the loop-closure queue (for sequence end / tests)."""
+        with self._cv:
+            while self._queue or self._busy:
+                self._cv.wait()
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
+
+    def shutdown(self):
+        self.finish()
+        with self._cv:
+            self._running = False
+            self._cv.notify_all()
+        self._thread.join(timeout=30.0)

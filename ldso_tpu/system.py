@@ -23,20 +23,24 @@ diagnostics), a handful per KF (BA stats, activation gates).
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import functools
 import json
+import threading
 from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ldso_tpu import select, tracker, trace as trace_mod
+from ldso_tpu import frame_step, select, tracker, trace as trace_mod
 from ldso_tpu.ba import marginal, solve
 from ldso_tpu.ba.residuals import assemble
 from ldso_tpu.config import LdsoConfig
+from ldso_tpu.core import bank as bank_mod
 from ldso_tpu.core import window as win_mod
+from ldso_tpu.core.bank import HostBank
 from ldso_tpu.core.window import PATTERN_OFFSETS, Window
 from ldso_tpu.init2f import CoarseInitializer
 from ldso_tpu.kernels.interp import bilinear33, in_bounds
@@ -103,37 +107,12 @@ def _relative_to_slots(win: Window, slot):
     return T_rel, alpha, beta
 
 
-# ---------------------------------------------------------------------------
-# Immature point bank (host-side SoA; device work via trace kernels)
-# ---------------------------------------------------------------------------
-
-
-@dataclasses.dataclass
-class ImmatureBank:
-    """Fixed-capacity candidate-point store (reference: the per-KF
-    std::vector<ImmaturePoint*>; here one flat bank with host-slot tags)."""
-
-    capacity: int
-
-    def __post_init__(self):
-        n = self.capacity
-        self.valid = np.zeros(n, dtype=bool)
-        self.host_slot = np.zeros(n, dtype=np.int32)
-        self.uv = np.zeros((n, 2), dtype=np.float32)
-        self.color = np.zeros((n, 8), dtype=np.float32)
-        self.weight = np.ones((n, 8), dtype=np.float32)
-        self.idepth_min = np.zeros(n, dtype=np.float32)
-        self.idepth_max = np.full(n, np.nan, dtype=np.float32)  # NAN = untraced
-        self.quality = np.zeros(n, dtype=np.float32)
-        self.last_status = np.full(n, trace_mod.UNINITIALIZED, dtype=np.int32)
-        self.outlier_count = np.zeros(n, dtype=np.int32)
-
-    def free_slots(self, k: int) -> np.ndarray:
-        idx = np.flatnonzero(~self.valid)
-        return idx[:k]
-
-    def drop(self, mask: np.ndarray):
-        self.valid &= ~mask
+def _pad_rows(a: np.ndarray, cap: int, fill=0.0) -> np.ndarray:
+    """Pad axis 0 to ``cap`` — every device call gets ONE static shape
+    (data-dependent batch sizes would recompile per size on TPU)."""
+    out = np.full((cap,) + a.shape[1:], fill, a.dtype)
+    out[: len(a)] = a[:cap]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -174,6 +153,23 @@ class PoseEdge:
     scale: float = 1.0            # Sim3 scale for loop edges
 
 
+@dataclasses.dataclass
+class _MapTask:
+    """One tracked frame handed from the tracking front half to the
+    mapping back half (reference: unmappedTrackedFrames queue entries)."""
+
+    fid: int
+    ts: float
+    exposure: float
+    pyr: tuple                    # device pyramid of the frame
+    T_cw: np.ndarray              # [4,4] tracked worldToCam
+    aff: tuple                    # (a_abs, b_abs)
+    need_kf: bool
+    frame_rec: "FrameRecord"
+    status: dict
+    traced: bool = False          # bank already traced (fused sync step)
+
+
 # ---------------------------------------------------------------------------
 # The conductor
 # ---------------------------------------------------------------------------
@@ -183,8 +179,16 @@ class FullSystem:
     """End-to-end monocular direct odometry engine (loop closure is wired
     in by ldso_tpu.loop.system glue; this class is the odometry core)."""
 
-    def __init__(self, cfg: LdsoConfig, intr, w: int, h: int):
+    def __init__(self, cfg: LdsoConfig, intr, w: int, h: int,
+                 async_mapping: bool = False, pipeline_depth: int = 0):
+        """``async_mapping``: run the mapping back half (trace/KF/BA) on a
+        worker thread (reference: mappingLoop). ``pipeline_depth`` > 0
+        additionally defers the tracking readback by that many frames so
+        device dispatches pipeline ahead of host decisions — tracking
+        throughput then hides the host↔device round-trip latency (only
+        meaningful with async_mapping)."""
         self.cfg = cfg
+        self.pipeline_depth = pipeline_depth if async_mapping else 0
         L = cfg.shapes.pyr_levels
         m = 1 << (L - 1)
         self.w = (w // m) * m
@@ -200,7 +204,7 @@ class FullSystem:
         self.kfs: dict[int, KeyframeRecord] = {}
         self.frames: List[FrameRecord] = []
         self.pose_edges: List[PoseEdge] = []
-        self.immatures = ImmatureBank(cfg.shapes.max_immature)
+        self.bank = bank_mod.empty_bank(cfg.shapes.max_immature)
 
         self.initializer = CoarseInitializer(cfg, self.intr)
         self.initialized = False
@@ -216,14 +220,53 @@ class FullSystem:
         self.T_last_cw: Optional[np.ndarray] = None
         self.T_prelast_cw: Optional[np.ndarray] = None
         self.first_coarse_rmse = -1.0
+        # device-side prediction state (refToNew of the last two frames,
+        # relative to the CURRENT tracking ref) — lets track_step compute
+        # the constant-velocity seed in-program, no readback needed
+        eye = jnp.eye(4, dtype=jnp.float32)
+        self._T_last_rel = eye
+        self._T_prelast_rel = eye
+        self._T_ref_cw_dev = eye
+        self._T_ref_cw_np = np.eye(4)
+        self._ref_version = 0            # bumped at every tracker-ref swap
+        self._dispatch_ref_version = 0
+        self._pending: collections.deque = collections.deque()
+        # adaptive activation spacing (reference: currentMinActDist)
+        self._min_act_dist = cfg.selector.min_act_dist
+        self._last_act_stats: dict = {}
         self.metrics: List[dict] = []
         # hooks the loop-closing subsystem assigns
         self.on_keyframe = None
         self.loop_closing = None
 
+        # guards host registries shared with async loop-closure/PGO
+        # workers (kfs dict mutation, pose_edges append, pose write-back)
+        self.state_lock = threading.Lock()
+
+        # track ∥ map pipeline (reference: FullSystem::deliverTrackedFrame +
+        # mappingLoop — queue depth ≤3, non-KF frames dropped under backlog,
+        # KFs never dropped)
+        self._async = async_mapping
+        self._map_queue: collections.deque = collections.deque()
+        self._map_cv = threading.Condition()
+        self._map_busy = False
+        self._map_exc: Optional[BaseException] = None
+        self._kf_inflight = 0         # KFs queued/being built by mapping
+        self._map_running = True
+        self._map_thread: Optional[threading.Thread] = None
+        if async_mapping:
+            self._map_thread = threading.Thread(
+                target=self._mapping_loop, name="ldso-mapping", daemon=True)
+            self._map_thread.start()
+
     # ------------------------------------------------------------------
     # Public API (reference: addActiveFrame / printResult)
     # ------------------------------------------------------------------
+
+    @property
+    def immatures(self) -> HostBank:
+        """Host snapshot of the device-resident immature bank."""
+        return bank_mod.to_host(self.bank)
 
     def add_frame(self, img, timestamp: Optional[float] = None,
                   exposure: float = 1.0) -> dict:
@@ -231,8 +274,11 @@ class FullSystem:
         self.frame_count += 1
         ts = float(timestamp) if timestamp is not None else float(fid)
         img = np.asarray(img, dtype=np.float32)[: self.h, : self.w]
-        pyr, _ = build_pyramid(jnp.asarray(img), self.cfg.shapes.pyr_levels)
 
+        if self.initialized and not self.is_lost:
+            return self._track_and_map(fid, ts, exposure, img)
+
+        pyr, _ = build_pyramid(jnp.asarray(img), self.cfg.shapes.pyr_levels)
         if self.is_lost:
             # relocalization by BoW + PnP re-anchor (new capability — the
             # reference has the database but never recovers, SURVEY §5.3)
@@ -243,13 +289,12 @@ class FullSystem:
                     self.T_last_cw = rel["T_cw"]
                     self.T_prelast_cw = rel["T_cw"].copy()
                     self.first_coarse_rmse = -1.0
+                    self._resync_prediction(self._T_ref_cw_np)
                     return dict(status="relocalized", frame_id=fid,
                                 anchor_kf=rel["kf_id"],
                                 n_inliers=rel["n_inliers"])
             return dict(status="lost", frame_id=fid)
-        if not self.initialized:
-            return self._initializer_step(fid, ts, exposure, pyr)
-        return self._track_and_map(fid, ts, exposure, pyr)
+        return self._initializer_step(fid, ts, exposure, pyr)
 
     def export_trajectory(self):
         """(timestamps [N], T_cw [N,4,4]) for every tracked frame — frame
@@ -314,18 +359,21 @@ class FullSystem:
         kf1 = self._new_kf(fid, ts, T1, pyr[0], exposure,
                            aff_ab=(float(ab1[0]), float(ab1[1])))
 
-        # points hosted by KF0
+        # points hosted by KF0 (padded to capacity: single static shape)
         good = np.asarray(res["good"])
         order = np.flatnonzero(good)
-        k = min(len(order), cfg.shapes.max_points)
+        P = cfg.shapes.max_points
+        k = min(len(order), P)
         order = order[:k]
-        uv = np.asarray(res["uv"])[order]
-        idepth = np.asarray(res["idepth"])[order]
+        uv = _pad_rows(np.asarray(res["uv"], np.float32)[order], P)
+        idepth = _pad_rows(np.asarray(res["idepth"], np.float32)[order], P, 1.0)
+        slots = np.full(P, P, np.int32)
+        slots[:k] = np.arange(k)
         color, weight = _sample_pattern(
             self.win.images[kf0.slot], jnp.asarray(uv),
             outlier_sum=float(cfg.ba.outlier_th_sum_component))
         self.win = win_mod.add_points(
-            self.win, np.arange(k), kf0.slot, uv,
+            self.win, slots, kf0.slot, uv,
             np.asarray(color), np.asarray(weight), idepth)
 
         # polish with one BA round
@@ -353,64 +401,109 @@ class FullSystem:
     # Steady-state tracking (reference: trackNewCoarse + deliverTrackedFrame)
     # ------------------------------------------------------------------
 
-    def _track_and_map(self, fid, ts, exposure, pyr) -> dict:
+    def _track_and_map(self, fid, ts, exposure, img) -> dict:
         cfg = self.cfg
-        ref = self.kfs[self.ref_kf]
-        T_ref_cw = ref.T_cw
+        with self.state_lock:     # consistent ref bundle (async: mapping swaps)
+            ref = self.track_ref
+            ref_kf_id = self.ref_kf
+            T_ref_np = self._T_ref_cw_np
+            T_ref_dev = self._T_ref_cw_dev
+            ref_version = self._ref_version
 
-        # constant-velocity prediction → hypothesis ladder
-        if self.T_last_cw is not None and self.T_prelast_cw is not None:
-            vel = self.T_last_cw @ np.linalg.inv(self.T_prelast_cw)
-            T_pred = vel @ self.T_last_cw
-            T_cv = T_pred @ np.linalg.inv(T_ref_cw)
-        else:
-            T_cv = np.eye(4)
-        hyps = tracker.motion_hypotheses(
-            jnp.asarray(T_cv, jnp.float32), num=cfg.shapes.num_hypotheses)
+        # ref swapped since the last dispatch → re-express the device
+        # prediction state relative to the new ref (one host computation
+        # per keyframe — the reference's setCoarseTrackingRef sync point)
+        if self._dispatch_ref_version != ref_version:
+            self._drain_pending()
+            if self.is_lost:
+                return dict(status="lost", frame_id=fid)
+            self._resync_prediction(T_ref_np)
+            self._dispatch_ref_version = ref_version
 
         ab0 = jnp.asarray(self.last_rel_ab, jnp.float32)
-        tr = tracker.track_frame(pyr, self.track_ref, hyps, ab0,
-                                 self.intr_j, cfg, new_exposure=exposure)
-        rmse0 = float(tr.rmse[0])
+        if self.pipeline_depth > 0:
+            out = frame_step.track_step(
+                jnp.asarray(img), ref, self._T_last_rel,
+                self._T_prelast_rel, ab0, self.intr_j,
+                jnp.float32(exposure), cfg)
+        else:
+            out = frame_step.fused_step(
+                jnp.asarray(img), ref, self._T_last_rel,
+                self._T_prelast_rel, ab0, self.bank, self.win.T_eval,
+                self.win.x, self.win.exposure, T_ref_dev,
+                self.intr_j, jnp.float32(exposure), cfg)
+            self.bank = out.bank
+        self._T_prelast_rel = self._T_last_rel
+        self._T_last_rel = out.T
+
+        rec = (fid, ts, exposure, out, ref_kf_id, T_ref_np)
+        if self.pipeline_depth > 0:
+            # deferred decision: dispatch ahead, read results N frames late
+            self._pending.append(rec)
+            if len(self._pending) > self.pipeline_depth:
+                return self._process_tracked(*self._pending.popleft())
+            return dict(status="pending", frame_id=fid)
+        return self._process_tracked(*rec)
+
+    def _resync_prediction(self, T_ref_cw: np.ndarray):
+        """Re-express the device-side (T_last, T_prelast) prediction pair
+        relative to ``T_ref_cw`` from the host trajectory state."""
+        inv_ref = np.linalg.inv(T_ref_cw)
+        T_l = (self.T_last_cw @ inv_ref if self.T_last_cw is not None
+               else np.eye(4))
+        T_p = (self.T_prelast_cw @ inv_ref
+               if self.T_prelast_cw is not None else T_l)
+        self._T_last_rel = jnp.asarray(T_l, jnp.float32)
+        self._T_prelast_rel = jnp.asarray(T_p, jnp.float32)
+
+    def _drain_pending(self):
+        while self._pending:
+            self._process_tracked(*self._pending.popleft())
+
+    def _process_tracked(self, fid, ts, exposure, out, ref_kf_id,
+                         T_ref_cw) -> dict:
+        """Consume one tracking result: lost check, trajectory record,
+        KF decision, hand-off to the mapping back half."""
+        cfg = self.cfg
+        diag = np.asarray(out.diag)               # the per-frame readback
+        rmse0 = float(diag[frame_step.DIAG_RMSE0])
         if self.first_coarse_rmse < 0:
             self.first_coarse_rmse = rmse0
         if not np.isfinite(rmse0) or rmse0 > 4.0 * max(self.first_coarse_rmse, 1e-3):
             self.is_lost = True
+            self._pending.clear()     # later frames tracked a lost state
             return dict(status="lost", frame_id=fid, rmse=rmse0)
 
-        T_rel = np.asarray(tr.T, dtype=np.float64)
+        T_rel = diag[frame_step.DIAG_T:].reshape(4, 4).astype(np.float64)
         T_cw = T_rel @ T_ref_cw
-        ab_rel = np.asarray(tr.ab)
+        ab_rel = diag[frame_step.DIAG_A_REL:frame_step.DIAG_B_REL + 1]
         self.last_rel_ab = ab_rel.astype(np.float32)
-        self.frames.append(FrameRecord(fid, ts, ref.kf_id, T_rel, False))
+        self.frames.append(FrameRecord(fid, ts, ref_kf_id, T_rel, False))
 
-        # keyframe decision (reference: FullSystem.cc KF criterion —
-        # setting_maxShiftWeight* are premultiplied by nominal 640+480)
-        flow = np.asarray(tr.flow)
-        tc = cfg.tracker
-        norm = 1120.0 / (self.w + self.h)
-        delta = tc.kf_global_weight * norm * (
-            tc.max_shift_weight_t * flow[0]
-            + tc.max_shift_weight_r * flow[2]
-            + tc.max_shift_weight_rt * flow[1]
-        ) + tc.max_affine_weight * abs(float(ab_rel[0]))
+        flow = diag[frame_step.DIAG_FLOW_T:frame_step.DIAG_FLOW_R + 1]
+        delta = float(diag[frame_step.DIAG_KF_DELTA])
         need_kf = delta > 1.0 or 2.0 * self.first_coarse_rmse < rmse0
+        # only one keyframe may be in flight (reference: needNewKFAfter —
+        # the mapping thread works off ONE pending KF; meanwhile tracked
+        # frames keep using the old ref without re-flagging)
+        if need_kf and self._async and self._kf_inflight > 0:
+            need_kf = False
+        if need_kf and self._async:
+            self._kf_inflight += 1
 
         status = dict(status="tracked", frame_id=fid, rmse=rmse0,
                       flow=flow.tolist(), need_kf=bool(need_kf),
                       n_active=int(np.sum(np.asarray(self.win.p_valid))))
-        # new-frame absolute affine (for tracing / KF insertion)
-        a_ref, b_ref = self._kf_affine(ref)
-        e_ref = float(self.win.exposure[ref.slot])
-        alpha_rel = float(np.exp(ab_rel[0]))
-        a_abs = float(np.log(max(alpha_rel * e_ref * np.exp(a_ref) / max(exposure, 1e-6), 1e-12)))
-        b_abs = float(ab_rel[1] + alpha_rel * b_ref)
+        a_abs = float(diag[frame_step.DIAG_A_ABS])
+        b_abs = float(diag[frame_step.DIAG_B_ABS])
 
-        if need_kf:
-            self._make_keyframe(fid, ts, exposure, pyr, T_cw, (a_abs, b_abs),
-                                status)
+        traced = self.pipeline_depth == 0     # fused_step already traced
+        task = _MapTask(fid, ts, exposure, out.pyr, T_cw, (a_abs, b_abs),
+                        bool(need_kf), self.frames[-1], status, traced)
+        if self._async:
+            self._deliver_tracked_frame(task)
         else:
-            self._trace_immatures(pyr[0], T_cw, exposure, (a_abs, b_abs))
+            self._map_frame(task)
 
         self.T_prelast_cw = self.T_last_cw
         self.T_last_cw = T_cw
@@ -419,19 +512,100 @@ class FullSystem:
         return status
 
     # ------------------------------------------------------------------
+    # Track ∥ map pipeline (reference: deliverTrackedFrame + mappingLoop)
+    # ------------------------------------------------------------------
+
+    def _deliver_tracked_frame(self, task: _MapTask):
+        if self._map_exc is not None:
+            exc, self._map_exc = self._map_exc, None
+            raise exc
+        with self._map_cv:
+            self._map_queue.append(task)
+            # backlog control: mapping may lag ≤3 frames; drop the oldest
+            # non-KF frames first (reference: mappingLoop skip-logic), KFs
+            # always survive and effectively jump the queue
+            while len(self._map_queue) > 3:
+                for i, t in enumerate(self._map_queue):
+                    if not t.need_kf:
+                        del self._map_queue[i]
+                        break
+                else:
+                    break
+            self._map_cv.notify_all()
+
+    def _mapping_loop(self):
+        while True:
+            with self._map_cv:
+                while not self._map_queue and self._map_running:
+                    self._map_cv.wait()
+                if not self._map_queue and not self._map_running:
+                    return
+                task = self._map_queue.popleft()
+                self._map_busy = True
+            try:
+                self._map_frame(task)
+            except BaseException as e:    # surfaced on next deliver/finish
+                self._map_exc = e
+            finally:
+                with self._map_cv:
+                    self._map_busy = False
+                    self._map_cv.notify_all()
+
+    def finish_mapping(self):
+        """Block until the mapping backlog drains (reference:
+        FullSystem::blockUntilMappingIsFinished). Also flushes the
+        pipelined tracking results still awaiting their readback."""
+        self._drain_pending()
+        if not self._async:
+            return
+        with self._map_cv:
+            while self._map_queue or self._map_busy:
+                self._map_cv.wait()
+        if self._map_exc is not None:
+            exc, self._map_exc = self._map_exc, None
+            raise exc
+
+    def shutdown(self):
+        """Stop the mapping thread (after finish_mapping)."""
+        if self._map_thread is None:
+            return
+        self.finish_mapping()
+        with self._map_cv:
+            self._map_running = False
+            self._map_cv.notify_all()
+        self._map_thread.join(timeout=30.0)
+        self._map_thread = None
+
+    def _map_frame(self, task: _MapTask):
+        if task.need_kf:
+            self._make_keyframe(task.fid, task.ts, task.exposure, task.pyr,
+                                task.T_cw, task.aff, task.status,
+                                task.frame_rec, traced=task.traced)
+        elif not task.traced:
+            self._trace_immatures(task.pyr[0], task.T_cw, task.exposure,
+                                  task.aff)
+
+    # ------------------------------------------------------------------
     # Keyframe path (reference: makeKeyFrame)
     # ------------------------------------------------------------------
 
-    def _make_keyframe(self, fid, ts, exposure, pyr, T_cw, aff_ab, status):
+    def _make_keyframe(self, fid, ts, exposure, pyr, T_cw, aff_ab, status,
+                       frame_rec: Optional[FrameRecord] = None,
+                       traced: bool = False):
         cfg = self.cfg
-        self._trace_immatures(pyr[0], T_cw, exposure, aff_ab)
+        if not traced:
+            self._trace_immatures(pyr[0], T_cw, exposure, aff_ab)
 
         kf = self._new_kf(fid, ts, T_cw, pyr[0], exposure, aff_ab)
-        self.frames[-1] = dataclasses.replace(
-            self.frames[-1], ref_kf=kf.kf_id, T_from_ref=np.eye(4), is_kf=True)
+        rec = frame_rec if frame_rec is not None else self.frames[-1]
+        rec.ref_kf = kf.kf_id
+        rec.T_from_ref = np.eye(4)
+        rec.is_kf = True
         self.win = win_mod.connect_new_frame(self.win, kf.slot)
 
-        bank = self.immatures
+        # one bank pull per keyframe: host-side lifecycle surgery happens
+        # on this snapshot and is pushed back at the end
+        bank = bank_mod.to_host(self.bank)
         status.update(
             n_imm=int(bank.valid.sum()),
             n_imm_good=int((bank.valid
@@ -439,7 +613,7 @@ class FullSystem:
             n_imm_q=int((bank.valid & (bank.last_status == trace_mod.GOOD)
                          & (bank.quality > self.cfg.trace.min_quality)).sum()))
         n_before = int(np.asarray(self.win.p_valid).sum())
-        self._activate_points(kf)
+        self._activate_points(kf, bank)
         n_after_act = int(np.asarray(self.win.p_valid).sum())
         stats = self._run_ba()
         self._refresh_kf_poses()
@@ -453,16 +627,20 @@ class FullSystem:
         for slot in marg_slots:
             self._marginalize_frame(slot)
 
-        self._cull_immatures(marg_slots)
-        self._make_new_immatures(kf.slot, pyr)
+        self._cull_immatures(marg_slots, bank)
+        self._make_new_immatures(kf.slot, pyr, bank)
+        self.bank = bank_mod.from_host(bank)
         self._update_tracker_ref(kf)
 
         status.update(
             ba_energy=stats.energy_final, ba_iters=stats.iterations,
             n_res=stats.num_residuals, kf_id=kf.kf_id,
-            n_window=sum(k is not None for k in self.slot_kf))
+            n_window=sum(k is not None for k in self.slot_kf),
+            **getattr(self, "_last_act_stats", {}))
         if self.on_keyframe is not None:
             self.on_keyframe(self, kf, pyr)
+        if self._async and self._kf_inflight > 0:
+            self._kf_inflight -= 1
 
     def _new_kf(self, fid, ts, T_cw, img3, exposure, aff_ab) -> KeyframeRecord:
         slot = next(i for i, k in enumerate(self.slot_kf) if k is None)
@@ -470,7 +648,8 @@ class FullSystem:
                             np.asarray(T_cw, dtype=np.float64), slot)
         self.next_kf_id += 1
         self.slot_kf[slot] = kf.kf_id
-        self.kfs[kf.kf_id] = kf
+        with self.state_lock:
+            self.kfs[kf.kf_id] = kf
         self.win = win_mod.insert_frame(
             self.win, slot, jnp.asarray(T_cw, jnp.float32), img3,
             exposure, aff_ab=aff_ab)
@@ -492,9 +671,10 @@ class FullSystem:
 
     def _refresh_kf_poses(self):
         T = np.asarray(self.win.current_pose(), dtype=np.float64)
-        for slot, kid in enumerate(self.slot_kf):
-            if kid is not None:
-                self.kfs[kid].T_cw = T[slot]
+        with self.state_lock:
+            for slot, kid in enumerate(self.slot_kf):
+                if kid is not None:
+                    self.kfs[kid].T_cw = T[slot]
 
     # ------------------------------------------------------------------
     # Window management (reference: flagFramesForMarginalization)
@@ -559,7 +739,8 @@ class FullSystem:
         cfg = self.cfg
         p_valid = np.asarray(self.win.p_valid)
         p_host = np.asarray(self.win.p_host)
-        res_rows = np.asarray(self.win.res_mask).sum(axis=1)
+        res_mask = np.asarray(self.win.res_mask)
+        res_rows = res_mask.sum(axis=1)
         dying_host = np.isin(p_host, marg_slots) & p_valid
         no_res = (res_rows == 0) & p_valid
         goners = dying_host | no_res
@@ -567,7 +748,16 @@ class FullSystem:
             return
         hdd = stats.idepth_hessian if stats.idepth_hessian is not None \
             else np.zeros(len(p_valid))
-        marg_mask = goners & (hdd > cfg.ba.min_idepth_hessian)
+        # maxRelBaseline gate (reference: PointHessian::maxRelBaseline —
+        # only points observed with enough relative baseline × idepth are
+        # well-triangulated enough to fold into the prior; the rest drop)
+        T = np.asarray(self.win.current_pose(), dtype=np.float64)
+        C = -np.einsum("fji,fj->fi", T[:, :3, :3], T[:, :3, 3])   # camera centers
+        dist = np.linalg.norm(C[p_host][:, None, :] - C[None, :, :], axis=-1)
+        rel_b = np.max(np.where(res_mask, dist, 0.0), axis=1) \
+            * np.asarray(self.win.p_idepth)
+        marg_mask = goners & (hdd > cfg.ba.min_idepth_hessian) \
+            & (rel_b > cfg.ba.min_rel_baseline)
         drop_mask = goners & ~marg_mask
         if marg_mask.any():
             self.HM, self.bM = marginal.marginalize_points(
@@ -578,18 +768,18 @@ class FullSystem:
         cfg = self.cfg
         kid = self.slot_kf[slot]
         kf = self.kfs[kid]
-        kf.T_cw = np.asarray(self.win.current_pose(slot), dtype=np.float64)
-        kf.in_window = False
-        kf.slot = -1
-
-        # pose-graph odometry edges to the KFs still in the window
-        # (reference: Frame::poseRel recorded at marginalization)
         T = np.asarray(self.win.current_pose(), dtype=np.float64)
         others = sorted((self.slot_kf[s], s) for s in range(len(self.slot_kf))
                         if self.slot_kf[s] is not None and s != slot)
-        for okid, oslot in others[: cfg.loop.max_edges_per_kf]:
-            T_ab = T[slot] @ np.linalg.inv(T[oslot])
-            self.pose_edges.append(PoseEdge(kid, okid, T_ab, "odom"))
+        with self.state_lock:
+            kf.T_cw = T[slot]
+            kf.in_window = False
+            kf.slot = -1
+            # pose-graph odometry edges to the KFs still in the window
+            # (reference: Frame::poseRel recorded at marginalization)
+            for okid, oslot in others[: cfg.loop.max_edges_per_kf]:
+                T_ab = T[slot] @ np.linalg.inv(T[oslot])
+                self.pose_edges.append(PoseEdge(kid, okid, T_ab, "odom"))
 
         aff_prior = np.array([0.0] * 6 + [cfg.ba.affine_prior_a,
                                           cfg.ba.affine_prior_b])
@@ -607,54 +797,18 @@ class FullSystem:
     # ------------------------------------------------------------------
 
     def _trace_immatures(self, img3_new, T_new_cw, exposure, aff_ab):
-        cfg = self.cfg
-        bank = self.immatures
-        if not bank.valid.any():
-            return
-        T = np.asarray(self.win.current_pose(), dtype=np.float64)
-        T_hn = np.einsum("ij,njk->nik", np.asarray(T_new_cw),
-                         np.linalg.inv(T)[bank.host_slot]).astype(np.float32)
-        x = np.asarray(self.win.x)
-        e = np.asarray(self.win.exposure)
-        ea_h = e[bank.host_slot] * np.exp(x[bank.host_slot, 6])
-        alpha = (exposure * np.exp(aff_ab[0])) / np.maximum(ea_h, 1e-12)
-        beta = aff_ab[1] - alpha * x[bank.host_slot, 7]
-        ab = np.stack([alpha, beta], axis=-1).astype(np.float32)
+        """Epipolar-trace the device bank against the new frame — one
+        dispatch, zero host traffic (reference: traceNewCoarse)."""
+        self.bank = frame_step.trace_step(
+            img3_new, self.bank, self.win.T_eval, self.win.x,
+            self.win.exposure, jnp.asarray(T_new_cw, jnp.float32),
+            jnp.asarray(aff_ab, jnp.float32), jnp.float32(exposure),
+            self.intr_j, self.cfg)
 
-        first = np.isnan(bank.idepth_max)
-        d_min = np.where(first, 0.0, bank.idepth_min).astype(np.float32)
-        d_max = np.where(first, 1e8, bank.idepth_max).astype(np.float32)
-
-        res = trace_mod.trace_points(
-            img3_new, jnp.asarray(bank.uv), jnp.asarray(bank.color),
-            jnp.asarray(d_min), jnp.asarray(d_max),
-            jnp.asarray(bank.valid), jnp.asarray(T_hn), jnp.asarray(ab),
-            self.intr_j, num_samples=cfg.shapes.epi_samples,
-            gn_iters=cfg.trace.gn_iterations,
-            max_pix_search_frac=cfg.trace.max_pix_search_frac,
-            min_quality=cfg.trace.min_quality,
-            step_size=cfg.trace.step_size)
-
-        st = np.asarray(res.status)
-        good = bank.valid & (st == trace_mod.GOOD)
-        bank.idepth_min = np.where(good, np.asarray(res.idepth_min),
-                                   bank.idepth_min)
-        bank.idepth_max = np.where(good, np.asarray(res.idepth_max),
-                                   bank.idepth_max)
-        bank.quality = np.where(bank.valid, np.asarray(res.quality),
-                                bank.quality)
-        bank.last_status = np.where(bank.valid, st, bank.last_status)
-        bank.outlier_count += (bank.valid & (st == trace_mod.OUTLIER)).astype(np.int32)
-        # delete hopeless candidates — OOB only, like the reference
-        # (activatePointsMT deletes on IPS_OOB; OUTLIER keeps retrying);
-        # persistent outliers get culled after many strikes
-        bank.drop(bank.valid & ((st == trace_mod.OOB) | (bank.outlier_count >= 8)))
-
-    def _activate_points(self, new_kf: KeyframeRecord):
+    def _activate_points(self, new_kf: KeyframeRecord, bank: HostBank):
         """Promote good candidates to active points (reference:
         activatePointsMT + optimizeImmaturePoint)."""
         cfg = self.cfg
-        bank = self.immatures
         p_valid = np.asarray(self.win.p_valid)
         n_free = int((~p_valid).sum())
         n_want = int(cfg.selector.desired_point_density) - int(p_valid.sum())
@@ -699,61 +853,174 @@ class FullSystem:
         idx = np.concatenate(chosen_all)
         d = np.concatenate(d_all)
         hosts = np.asarray(host_all)
-        # best quality first, capped at the budget
-        order = np.argsort(-bank.quality[idx])[:n_want]
+        # best quality first
+        order = np.argsort(-bank.quality[idx])
         idx, d, hosts = idx[order], d[order], hosts[order]
 
+        # activation spacing (reference: CoarseDistanceMap + the adaptive
+        # currentMinActDist ladder in activatePointsMT): keep candidates
+        # away from existing points and from each other, with the radius
+        # fed back from the point-density error
+        n_now = float(p_valid.sum())
+        desired = min(cfg.selector.desired_point_density,
+                      float(self.win.num_points))
+        mad = self._min_act_dist
+        if n_now < desired * 0.66:
+            mad -= 0.8
+        elif n_now < desired * 0.8:
+            mad -= 0.5
+        elif n_now < desired * 0.9:
+            mad -= 0.2
+        if n_now > desired:
+            mad += 0.2
+        self._min_act_dist = mad = float(np.clip(mad, 0.0, 4.0))
+        if mad >= 0.25 and len(idx):
+            keep = self._spacing_gate(new_kf, bank.uv[idx], d, hosts,
+                                      2.0 * mad)
+            idx, d, hosts = idx[keep], d[keep], hosts[keep]
+        idx, d, hosts = idx[:n_want], d[:n_want], hosts[:n_want]
+
+        P = self.win.num_points
         free = np.flatnonzero(~p_valid)
+        n_corner_act = 0
         for slot in np.unique(hosts):
             m = hosts == slot
-            k = int(m.sum())
-            if k == 0 or len(free) == 0:
+            k = min(int(m.sum()), len(free))
+            if k == 0:
                 continue
             take = free[:k]
             free = free[k:]
-            sel_idx = idx[m][: len(take)]
+            sel_idx = idx[m][:k]
+            uv_pad = _pad_rows(bank.uv[sel_idx].astype(np.float32), P)
             color, weight = _sample_pattern(
-                self.win.images[int(slot)], jnp.asarray(bank.uv[sel_idx]),
+                self.win.images[int(slot)], jnp.asarray(uv_pad),
                 outlier_sum=float(cfg.ba.outlier_th_sum_component))
+            slots_pad = np.full(P, P, np.int32)
+            slots_pad[:k] = take
             self.win = win_mod.add_points(
-                self.win, take, int(slot), bank.uv[sel_idx],
-                np.asarray(color), np.asarray(weight), d[m][: len(take)])
+                self.win, slots_pad, int(slot), uv_pad,
+                np.asarray(color), np.asarray(weight),
+                _pad_rows(d[m][:k].astype(np.float32), P, 1.0))
             activated_mask[sel_idx] = True
+            n_corner_act += int(bank.is_corner[sel_idx].sum())
+        self._last_act_stats = dict(
+            n_corner_act=n_corner_act, min_act_dist=self._min_act_dist)
         bank.drop(activated_mask)
 
-    def _cull_immatures(self, marg_slots: List[int]):
-        if marg_slots:
-            self.immatures.drop(np.isin(self.immatures.host_slot, marg_slots))
+    def _spacing_gate(self, kf, cand_uv_host: np.ndarray, d0: np.ndarray,
+                      hosts: np.ndarray, min_px: float) -> np.ndarray:
+        """Distance gate in the new KF's image (TPU-first redesign of the
+        reference's BFS CoarseDistanceMap: with ≤2k points an explicit
+        candidate×point distance check is cheaper than building a map).
+        Candidates are quality-ordered; each accepted one occupies a cell
+        so candidates also repel each other."""
+        T = np.asarray(self.win.current_pose(), dtype=np.float64)
+        fx, fy, cx, cy = (float(v) for v in np.asarray(self.win.c))
+        T_kf = T[kf.slot]
+        T_inv = np.linalg.inv(T)
 
-    def _make_new_immatures(self, slot: int, pyr):
-        """Select fresh candidates on the new KF (reference: makeNewTraces)."""
+        def proj_into_kf(uv, idep, host_idx):
+            xh = np.stack([(uv[:, 0] - cx) / fx, (uv[:, 1] - cy) / fy,
+                           np.ones(len(uv))], axis=-1)
+            T_rel = np.einsum("ij,pjk->pik", T_kf, T_inv[host_idx])
+            X = np.einsum("pij,pj->pi", T_rel[:, :3, :3], xh) \
+                + T_rel[:, :3, 3] * idep[:, None]
+            z = np.maximum(X[:, 2], 1e-6)
+            return np.stack([fx * X[:, 0] / z + cx, fy * X[:, 1] / z + cy],
+                            axis=-1)
+
+        # occupancy grid from existing active points projected into the KF
+        cell = max(min_px, 1.0)
+        occupied = set()
+        p_valid = np.asarray(self.win.p_valid)
+        if p_valid.any():
+            act_uv = proj_into_kf(np.asarray(self.win.p_uv)[p_valid],
+                                  np.asarray(self.win.p_idepth)[p_valid],
+                                  np.asarray(self.win.p_host)[p_valid])
+            for c in zip(*(act_uv // cell).astype(np.int64).T):
+                occupied.add(c)
+
+        cand_uv = proj_into_kf(cand_uv_host, d0, hosts)
+        cells = (cand_uv // cell).astype(np.int64)
+        keep = np.zeros(len(cand_uv), bool)
+        for i, c in enumerate(map(tuple, cells)):
+            if c not in occupied:
+                keep[i] = True
+                occupied.add(c)
+        return keep
+
+    def _cull_immatures(self, marg_slots: List[int], bank: HostBank):
+        if marg_slots:
+            bank.drop(np.isin(bank.host_slot, marg_slots))
+
+    def _make_new_immatures(self, slot: int, pyr, bank: Optional[HostBank] = None):
+        """Select fresh candidates on the new KF (reference: makeNewTraces).
+
+        With ``bank=None`` pulls/pushes the device bank itself (used by
+        the initializer); inside the KF path the caller owns the snapshot."""
+        if bank is None:
+            bank = bank_mod.to_host(self.bank)
+            self._seed_immatures(slot, pyr, bank)
+            self.bank = bank_mod.from_host(bank)
+        else:
+            self._seed_immatures(slot, pyr, bank)
+
+    def _seed_immatures(self, slot: int, pyr, bank: HostBank):
         cfg = self.cfg
-        bank = self.immatures
         gsq1 = jnp.sum(pyr[1][..., 1:3] ** 2, axis=-1)
         gsq2 = jnp.sum(pyr[2][..., 1:3] ** 2, axis=-1)
         n_want = min(int(cfg.selector.desired_immature_density),
                      int((~bank.valid).sum()))
         if n_want <= 0:
             return
+
+        # corner-biased seeds (LDSO's signature frontend change:
+        # FeatureDetector corners become first-class candidates so
+        # loop-closure features inherit point depths — reference:
+        # FeatureDetector.cc + makeNewTraces, FullSystem.cc:~L760)
+        corner_uv = np.zeros((0, 2), np.float32)
+        if cfg.selector.corner_fraction > 0:
+            from ldso_tpu.loop import orb
+
+            feats = orb.detect(pyr[0], max_features=cfg.loop.max_features,
+                               fast_th=cfg.loop.orb_fast_th)
+            # true FAST hits only (detect() marks them with a +1e3 score
+            # offset; its Shi-Tomasi fallback scores are matcher-grade,
+            # not candidate-grade)
+            fv = np.asarray(feats.valid) & (np.asarray(feats.score) > 1e3)
+            corner_uv = np.asarray(feats.uv)[fv]
+            n_c = int(n_want * cfg.selector.corner_fraction)
+            corner_uv = corner_uv[:n_c]        # detect() is score-sorted
+
+        # gradient picks fill the density (num_want is a static trace
+        # capacity — ALWAYS the full density so no per-KF recompiles;
+        # the host takes only what fits)
         uv, scores, valid = select.select_pixels(
-            pyr[0], gsq1, gsq2, num_want=n_want,
+            pyr[0], gsq1, gsq2,
+            num_want=int(cfg.selector.desired_immature_density),
             block=cfg.selector.block, pot=5,
             min_cut=cfg.selector.min_grad_hist_cut,
             min_add=cfg.selector.min_grad_hist_add,
+            down_weight=cfg.selector.grad_down_weight_per_level,
             seed=cfg.seed + (self.frame_count & 3))
-        uv = np.asarray(uv)
-        valid = np.asarray(valid)
-        uv = uv[valid]
-        if len(uv) == 0:
+        uv = np.asarray(uv)[np.asarray(valid)]
+        if len(corner_uv) and len(uv):
+            # drop gradient picks that duplicate a corner seed
+            d2 = ((uv[:, None, :] - corner_uv[None, :, :]) ** 2).sum(-1)
+            uv = uv[d2.min(axis=1) > 4.0]
+        uv_all = np.concatenate([corner_uv, uv.astype(np.float32)])[:n_want]
+        is_corner = np.zeros(len(uv_all), bool)
+        is_corner[: len(corner_uv)] = True
+        if len(uv_all) == 0:
             return
         color, weight = _sample_pattern(
-            pyr[0], jnp.asarray(uv),
+            pyr[0], jnp.asarray(uv_all),
             outlier_sum=float(cfg.ba.outlier_th_sum_component))
-        slots = bank.free_slots(len(uv))
+        slots = bank.free_slots(len(uv_all))
         k = len(slots)
         bank.valid[slots] = True
         bank.host_slot[slots] = slot
-        bank.uv[slots] = uv[:k]
+        bank.uv[slots] = uv_all[:k]
         bank.color[slots] = np.asarray(color)[:k]
         bank.weight[slots] = np.asarray(weight)[:k]
         bank.idepth_min[slots] = 0.0
@@ -761,6 +1028,7 @@ class FullSystem:
         bank.quality[slots] = 0.0
         bank.last_status[slots] = trace_mod.UNINITIALIZED
         bank.outlier_count[slots] = 0
+        bank.is_corner[slots] = is_corner[:k]
 
     # ------------------------------------------------------------------
     # Tracker reference (reference: setCoarseTrackingRef + makeCoarseDepthL0)
@@ -769,8 +1037,16 @@ class FullSystem:
     def _update_tracker_ref(self, kf: KeyframeRecord):
         uv, idep, color, valid = _project_points_to_slot(
             self.win, jnp.asarray(kf.slot))
-        self.track_ref = tracker.make_tracker_ref(
+        new_ref = tracker.make_tracker_ref(
             uv, idep, color, valid, self.cfg.shapes.pyr_levels,
-            exposure=float(self.win.exposure[kf.slot]))
-        self.ref_kf = kf.kf_id
+            exposure=float(self.win.exposure[kf.slot]),
+            aff_ab=self._kf_affine(kf))
+        # atomic swap of the ref bundle (async: mapping thread writes,
+        # tracking thread reads — reference: setCoarseTrackingRef mutex)
+        with self.state_lock:
+            self.track_ref = new_ref
+            self.ref_kf = kf.kf_id
+            self._T_ref_cw_np = np.asarray(kf.T_cw, np.float64).copy()
+            self._T_ref_cw_dev = jnp.asarray(self._T_ref_cw_np, jnp.float32)
+            self._ref_version += 1
         self.last_rel_ab = np.zeros(2, dtype=np.float32)

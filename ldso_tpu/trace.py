@@ -56,6 +56,9 @@ def trace_points(
     outlier_energy: float = 1800.0,   # reference: setting_trace_energy-ish gate (12²·8 + slack)
     min_quality: float = 3.0,
     step_size: float = 1.0,
+    slack_interval: float = 1.5,      # reference: don't re-search intervals already this tight (px)
+    extra_slack: float = 0.1,         # setting_trace_extraSlackOnTH on the energy gate
+    gn_threshold: float = 0.1,        # subpixel GN convergence step (px)
 ) -> TraceResult:
     h, w = img3_new.shape[0], img3_new.shape[1]
     N = uv.shape[0]
@@ -103,7 +106,7 @@ def trace_points(
     # direction & clamped search length (reference: maxPixSearch = 0.027(w+h))
     seg = p_max - p_min
     seg_len = jnp.linalg.norm(seg, axis=-1)
-    too_short = seg_len < 1.5
+    too_short = seg_len < slack_interval
     dir_ = seg / jnp.maximum(seg_len, 1e-8)[..., None]
     length = jnp.minimum(seg_len, max_search)
     # discretize from p_min toward p_max
@@ -140,6 +143,8 @@ def trace_points(
         b = jnp.sum(gk * rk, axis=-1)
         step = -b / jnp.maximum(H, 1e-6)
         step = jnp.clip(step, -step_size, step_size)
+        # converged points stop moving (reference: GN break on small step)
+        step = jnp.where(jnp.abs(step) < gn_threshold, 0.0, step)
         return buv + step[..., None] * dir_, None
 
     best_uv, _ = jax.lax.scan(gn_step, best_uv, None, length=gn_iters)
@@ -167,7 +172,7 @@ def trace_points(
     g_along = jnp.abs(jnp.sum(hit_best[..., 1:3] * dir_, axis=-1))
 
     searched_oob = ~ok_min | ~jnp.any(inb, axis=-1)
-    is_outlier = best_e > outlier_energy
+    is_outlier = best_e > outlier_energy * (1.0 + extra_slack)
     bad_cond = (g_along < 1.0) | (new_max < new_min) | (new_min < -0.1)
     low_quality = quality < min_quality
 

@@ -134,11 +134,16 @@ def _level_system(img3, uv, idepth, color, valid, T, ab, intr_l, w, h,
     return H, b, E, n_ok, n_in, n_sat
 
 
-@functools.partial(jax.jit, static_argnames=("w", "h", "iters", "cutoff", "huber_th"))
+@functools.partial(jax.jit, static_argnames=(
+    "w", "h", "iters", "cutoff", "huber_th", "lam0", "lam_success",
+    "lam_fail", "step_eps"))
 def track_level(img3, uv, idepth, color, valid, T0, ab0, intr_l,
-                w: int, h: int, iters: int, cutoff: float, huber_th: float):
+                w: int, h: int, iters: int, cutoff: float, huber_th: float,
+                lam0: float = 0.01, lam_success: float = 0.5,
+                lam_fail: float = 4.0, step_eps: float = 1e-6):
     """LM iterations at one pyramid level (reference: trackNewestCoarse's
-    per-level loop with lambda control)."""
+    per-level loop with lambda control and small-increment early break —
+    a lax.while_loop so converged levels stop paying for iterations)."""
 
     def gn_system(T, ab):
         return _level_system(img3, uv, idepth, color, valid, T, ab,
@@ -146,8 +151,12 @@ def track_level(img3, uv, idepth, color, valid, T0, ab0, intr_l,
 
     dt = T0.dtype
 
-    def body(carry, _):
-        T, ab, lam = carry
+    def cond(carry):
+        _, _, _, it, done = carry
+        return (it < iters) & ~done
+
+    def body(carry):
+        T, ab, lam, it, done = carry
         H, b, E, n_ok, n_in, n_sat = gn_system(T, ab)
         n_safe = jnp.maximum(n_ok, 1)
         Hd = H.at[jnp.arange(8), jnp.arange(8)].multiply(1.0 + lam)
@@ -159,11 +168,16 @@ def track_level(img3, uv, idepth, color, valid, T0, ab0, intr_l,
         accept = (E_new / jnp.maximum(n_ok2, 1)) < (E / n_safe)
         T = jnp.where(accept, T_new, T).astype(dt)
         ab = jnp.where(accept, ab_new, ab).astype(dt)
-        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-5), lam * 4.0).astype(dt)
-        return (T, ab, lam), None
+        lam = jnp.where(accept, jnp.maximum(lam * lam_success, 1e-5),
+                        lam * lam_fail).astype(dt)
+        # reference: "inc too small" break once an accepted step stalls
+        done = accept & (jnp.max(jnp.abs(step)) < step_eps)
+        return (T, ab, lam, it + 1, done)
 
-    (T, ab, lam), _ = jax.lax.scan(
-        body, (T0, ab0.astype(dt), jnp.asarray(0.01, dt)), None, length=iters)
+    T, ab, lam, _, _ = jax.lax.while_loop(
+        cond, body,
+        (T0, ab0.astype(dt), jnp.asarray(lam0, dt), jnp.int32(0),
+         jnp.asarray(False)))
     H, b, E, n_ok, n_in, n_sat = gn_system(T, ab)
     rmse = jnp.sqrt(E / jnp.maximum(n_ok, 1))
     return T, ab, rmse, n_ok, n_in, n_sat
@@ -196,7 +210,11 @@ def track_frame(
             lambda T0, ab0: track_level(
                 pyr_new[l], ref.uv[l], ref.idepth[l], ref.color[l], ref.valid[l],
                 T0, ab0, intr_l, w, h, int(iters[l]),
-                float(tcfg.coarse_cutoff_th * (2.0 ** l)), float(tcfg.huber_th)))
+                float(tcfg.coarse_cutoff_th * (2.0 ** l)), float(tcfg.huber_th),
+                lam0=float(tcfg.lambda_initial),
+                lam_success=float(tcfg.lambda_success),
+                lam_fail=float(tcfg.lambda_fail),
+                step_eps=float(tcfg.step_eps)))
         T_cand, ab_cand, rmses, n_ok, n_in, n_sat = fn(T_cand, ab_cand)
     best = jnp.argmin(jnp.where(jnp.isfinite(rmses), rmses, jnp.inf))
     T, ab = T_cand[best], ab_cand[best]
@@ -210,7 +228,11 @@ def track_frame(
         T, ab, rmse, n_ok, n_in, n_sat = track_level(
             pyr_new[l], ref.uv[l], ref.idepth[l], ref.color[l], ref.valid[l],
             T, ab, intr_l, w, h, int(iters[l]),
-            float(tcfg.coarse_cutoff_th * (2.0 ** l)), float(tcfg.huber_th))
+            float(tcfg.coarse_cutoff_th * (2.0 ** l)), float(tcfg.huber_th),
+            lam0=float(tcfg.lambda_initial),
+            lam_success=float(tcfg.lambda_success),
+            lam_fail=float(tcfg.lambda_fail),
+            step_eps=float(tcfg.step_eps))
         rmse_per_level[l] = rmse
 
     # flow indicators at level 0 (reference: lastFlowIndicators)

@@ -9,6 +9,9 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# the persistent compile cache targets the remote-compile TPU tunnel;
+# for CPU CI it only adds AOT machine-feature mismatch noise
+os.environ.setdefault("LDSO_NO_COMPILE_CACHE", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

@@ -187,3 +187,47 @@ class TestGraftEntry:
         import __graft_entry__ as g
 
         g.dryrun_multichip(8)
+
+
+class TestMultiHostMesh:
+    """(dcn, ici) 2-D mesh path (SURVEY §5.8: ICI within a host slice,
+    DCN across hosts; CI shape: 2 virtual hosts × 4 chips)."""
+
+    def test_2d_mesh_matches_1d(self, toy):
+        from ldso_tpu.distributed import mesh as mesh_mod
+
+        win, _ = toy
+        D = CFG.shapes.state_dim
+        HM = np.zeros((D, D), np.float32)
+        bM = np.zeros(D, np.float32)
+
+        mesh1 = sharded_ba.make_mesh(8)
+        win1 = sharded_ba.shard_window(win, mesh1)
+        step1 = sharded_ba.make_distributed_ba_step(mesh1, CFG)
+        out1, E1 = step1(win1, HM, bM, lam=1e-5)
+
+        mesh2 = mesh_mod.make_mesh_2d(n_hosts=2)
+        assert mesh2.axis_names == ("dcn", "ici")
+        win2 = sharded_ba.shard_window(win, mesh2)
+        step2 = sharded_ba.make_distributed_ba_step(mesh2, CFG)
+        out2, E2 = step2(win2, HM, bM, lam=1e-5)
+
+        np.testing.assert_allclose(np.asarray(out1.x), np.asarray(out2.x),
+                                   atol=2e-3)
+        np.testing.assert_allclose(np.asarray(out1.p_idepth),
+                                   np.asarray(out2.p_idepth), atol=5e-3)
+        assert np.isfinite(float(E2))
+
+    def test_init_distributed_noop_without_coordinator(self, monkeypatch):
+        from ldso_tpu.distributed import mesh as mesh_mod
+
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        assert mesh_mod.init_distributed() is False
+
+    def test_mesh_shapes(self):
+        from ldso_tpu.distributed import mesh as mesh_mod
+
+        m = mesh_mod.make_mesh_2d(n_hosts=4)
+        assert m.devices.shape == (4, 2)
+        with np.testing.assert_raises(ValueError):
+            mesh_mod.make_mesh_2d(n_hosts=3)

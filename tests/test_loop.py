@@ -214,3 +214,56 @@ class TestPoseGraph:
 
         assert traj_err(S_opt) < 0.05
         assert traj_err(S_opt) < 0.2 * traj_err(S)
+
+
+class TestVocabularyConverter:
+    """DBoW text-format converter (reference ships vocab/orbvoc.dbow3;
+    SURVEY Appendix B requires an offline converter + trainer)."""
+
+    def _train_small(self, seed=0):
+        rng = np.random.default_rng(seed)
+        desc = rng.integers(0, 256, size=(600, 32), dtype=np.uint8)
+        return bow.train_vocabulary(desc, k=4, levels=3, seed=seed), desc
+
+    def test_text_roundtrip_preserves_assignment_and_scores(self):
+        vocab, desc = self._train_small()
+        text = bow.save_vocabulary_text(vocab)
+        vocab2 = bow.load_vocabulary_text(text)
+        assert vocab2.k == vocab.k and vocab2.levels == vocab.levels
+        q = jnp.asarray(desc[:64])
+        ok = jnp.ones(64, bool)
+        l1, _ = bow.assign_leaves(vocab, q, ok)
+        l2, _ = bow.assign_leaves(vocab2, q, ok)
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+        v1 = bow.bow_vector(vocab, q, ok)
+        v2 = bow.bow_vector(vocab2, q, ok)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5)
+
+    def test_foreign_vocab_with_early_leaves_and_truncation(self):
+        # hand-built DBoW text tree: k=2, L=3, one branch ends early
+        rng = np.random.default_rng(1)
+        d = [" ".join(str(x) for x in rng.integers(0, 256, 32))
+             for _ in range(16)]
+        lines = ["2 3 0 0"]
+        # root children: nodes 1, 2
+        lines.append(f"0 0 {d[0]} 0")      # node 1 (internal)
+        lines.append(f"0 1 {d[1]} 0.5")    # node 2: EARLY leaf at level 0
+        # node 1 children: 3 (internal), 4 (leaf at level 1)
+        lines.append(f"1 0 {d[2]} 0")      # node 3
+        lines.append(f"1 1 {d[3]} 0.25")   # node 4: early leaf
+        # node 3 children: leaves at level 2
+        lines.append(f"3 1 {d[4]} 0.75")   # node 5
+        lines.append(f"3 1 {d[5]} 1.25")   # node 6
+        vocab = bow.load_vocabulary_text("\n".join(lines))
+        assert vocab.k == 2 and vocab.levels == 3
+        idf = np.asarray(vocab.idf)
+        assert idf.sum() > 0
+        # every valid leaf got a weight; early leaves propagated down
+        q = jnp.asarray(rng.integers(0, 256, size=(8, 32), dtype=np.uint8))
+        leaves, _ = bow.assign_leaves(vocab, q, jnp.ones(8, bool))
+        assert np.all(np.asarray(vocab.table_valid[-1])[np.asarray(leaves)])
+
+        # truncation to 2 levels folds subtree weights into level-1 leaves
+        v2 = bow.load_vocabulary_text("\n".join(lines), truncate_levels=2)
+        assert v2.levels == 2
+        assert np.isclose(np.asarray(v2.idf).sum(), idf.sum(), atol=1e-5)
