@@ -63,6 +63,23 @@ def prior_diag(win_valid: np.ndarray, cfg: LdsoConfig) -> np.ndarray:
     return d
 
 
+def prior_offset(win: Window) -> jnp.ndarray:
+    """[D] offset turning the diagonal prior into an ABSOLUTE-state prior
+    for the affine dims: energy = ½·λ·(Δ+off)² with off = x_zero[a,b], so
+    the prior pulls the absolute affine states to zero (reference:
+    setting_affineOptModeA/B λ-priors act on the absolute AffLight
+    values). Without this the common-mode affine gauge (a 2F-dof
+    near-nullspace of the photometric residual) random-walks across
+    keyframe generations and poisons the marginalization prior."""
+    F = win.num_frames
+    D = 8 * F + 4
+    off = jnp.zeros((F, 8), dtype=win.x.dtype)
+    off = off.at[:, 6:8].set(jnp.where(win.frame_valid[:, None],
+                                       win.x_zero[:, 6:8], 0.0))
+    return jnp.concatenate([off.reshape(8 * F),
+                            jnp.zeros(4, dtype=win.x.dtype)])
+
+
 def fix_mask(F: int, anchor_slot: int) -> np.ndarray:
     """[D] bool: state dims hard-fixed in the solve (the gauge anchor's pose)."""
     D = 8 * F + 4
@@ -98,10 +115,15 @@ def scale_nullspace(win: Window, anchor_slot: int) -> jnp.ndarray:
 def _solve_core(
     sys_H, sys_b, sys_Hxd, sys_Hdd, sys_bd,
     HM, bM, delta, prior_d, scale_vec, fixed, N_scale, lam, p_valid,
+    prior_off=None,
 ):
     """One damped GN solve: returns (dx [D], dd [P])."""
-    # total gradient/Hessian at current state (prior shifted by delta)
-    b = sys_b + bM + jnp.matmul(HM, delta, precision=_HI) + prior_d * delta
+    if prior_off is None:
+        prior_off = jnp.zeros_like(delta)
+    # total gradient/Hessian at current state (prior shifted by delta;
+    # the diagonal prior acts on delta+off — absolute affine states)
+    b = sys_b + bM + jnp.matmul(HM, delta, precision=_HI) \
+        + prior_d * (delta + prior_off)
     H = sys_H + HM + jnp.diag(prior_d)
 
     # Schur complement of idepths with damped H_dd
@@ -164,9 +186,11 @@ def apply_step(win: Window, dx, dd) -> Window:
 class BAStats(NamedTuple):
     iterations: int
     energy_initial: float
-    energy_final: float
+    energy_final: float       # photometric + prior expansion (may be < 0:
+                              # the prior's constant term is dropped)
     num_residuals: int
     lam_final: float
+    energy_photo: float = 0.0  # photometric Huber energy only (≥ 0)
     # per-point idepth Hessian at the solution — the marginalize-vs-drop
     # gate input (reference: PointHessian::idepth_hessian)
     idepth_hessian: object = None     # np [P]
@@ -198,10 +222,11 @@ def run_ba(
 
     def total_energy(photo_E, w):
         delta = state_delta(w)
+        da = delta + prior_offset(w)        # absolute affine for the diag prior
         e_prior = float(
             jnp.dot(delta, bM_j)
             + 0.5 * jnp.dot(delta, jnp.matmul(HM_j, delta))
-            + 0.5 * jnp.sum(p_diag * delta * delta)
+            + 0.5 * jnp.sum(p_diag * da * da)
         )
         return float(photo_E) + e_prior
 
@@ -218,6 +243,7 @@ def run_ba(
             sys.H, sys.b, sys.H_xd, sys.H_dd, sys.b_d,
             HM_j, bM_j, state_delta(win), p_diag,
             s_vec, fixed, N_scale, jnp.float32(lam), win.p_valid,
+            prior_off=prior_offset(win),
         )
         win_try = apply_step(win, dx, cfg.scales.idepth * dd)
         step_size = float(jnp.max(jnp.abs(dx)))
@@ -255,6 +281,7 @@ def run_ba(
         energy_final=float(E),
         num_residuals=int(sys.num_res),
         lam_final=float(lam),
+        energy_photo=float(sys.energy),
         idepth_hessian=np.asarray(sys.H_dd),
         valid_pair=np.asarray(sys.valid_pair),
     )

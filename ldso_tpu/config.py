@@ -97,7 +97,8 @@ class TrackerConfig:
     lambda_initial: float = 0.01
     lambda_success: float = 0.5      # multiply on accepted step
     lambda_fail: float = 4.0         # multiply on rejected step
-    step_eps: float = 1e-6           # convergence: |inc| below this → break
+    step_eps: float = 5e-5           # convergence: |inc| below this → break
+                                     # (~0.01 px at f=500 — sub-noise)
     # keyframe decision weights — reference: setting_kfGlobalWeight &
     # setting_maxShiftWeight{T,R,RT}, setting_maxAffineWeight
     kf_global_weight: float = 1.0
@@ -124,8 +125,12 @@ class BAConfig:
     # (the reference's 1e10 soft first-frame prior is replaced by a HARD
     # anchor fix in ba/solve.py's fix_mask — same gauge, better conditioning)
     intrinsics_prior: float = 1e6      # soft prior pinning fx fy cx cy near calib
-    affine_prior_a: float = 1e3        # setting_affineOptModeA (λ prior on a)
-    affine_prior_b: float = 1e1        # setting_affineOptModeB (λ prior on b)
+    # λ-priors on the ABSOLUTE affine states (reference:
+    # setting_affineOptModeA/B = 1e12/1e8 with full photometric
+    # calibration — a,b essentially locked; datasets without exposure
+    # info should relax these, mirroring the reference's mode switch)
+    affine_prior_a: float = 1e6
+    affine_prior_b: float = 1e4
     step_break_th: float = 1e-4        # "canbreak" increment threshold
 
 
@@ -173,8 +178,8 @@ class LoopConfig:
     min_score_rel: float = 0.75      # candidate score vs covisible-neighbor min score
     min_kf_gap: int = 15             # skip recent KFs
     consistency_window: int = 3      # temporal-consistency votes
-    min_matches: int = 20            # feature matches to attempt geometric check
-    min_inliers: int = 15            # RANSAC/refine inlier gate
+    min_matches: int = 12            # depth-bearing matches to attempt PnP
+    min_inliers: int = 10            # RANSAC/refine inlier gate
     ransac_hypotheses: int = 256     # batched P3P hypotheses
     ransac_threshold: float = 5.0    # reprojection inlier threshold (px)
     sim3_iterations: int = 10        # Sim3 GN refine iterations

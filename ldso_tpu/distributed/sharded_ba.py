@@ -74,8 +74,11 @@ def _local_gn_step(win: Window, HM, bM, prior_d, scale_vec, fixed, lam,
     # replicated tiny solve (every device computes the same dx); damping
     # order matches the single-device solver (_solve_core): damp the
     # undamped total diagonal, THEN subtract the Schur term
+    from ldso_tpu.ba.solve import prior_offset
+
     H = HH[0] + HM + jnp.diag(prior_d)
-    b = (b_sum + bM + jnp.matmul(HM, delta, precision=_HI) + prior_d * delta
+    b = (b_sum + bM + jnp.matmul(HM, delta, precision=_HI)
+         + prior_d * (delta + prior_offset(win))   # absolute affine prior
          - bsc_sum)
     H = H.at[jnp.arange(D), jnp.arange(D)].multiply(1.0 + lam) - HH[1]
     H = jnp.where(fixed[:, None] | fixed[None, :], 0.0, H)

@@ -75,6 +75,10 @@ class FusedStepOut(NamedTuple):
 def _track_core(img, ref, T_last, T_prelast, ab0, intr, new_exposure, cfg):
     """Shared tracking body (traced)."""
     L = cfg.shapes.pyr_levels
+    # accept uint8 frames: the host→HBM transfer rides the remote tunnel
+    # (latency-bound) — shipping 8-bit and widening on device cuts the
+    # per-frame h2d bytes 4x (dataset frames are 8-bit at the sensor)
+    img = img.astype(jnp.float32)
     pyr, gsq = build_pyramid(img, L)
     # constant-velocity prediction from the previous two refToNew poses
     # (reference: lastF_2_fh_tries seed) — all on device

@@ -48,7 +48,7 @@ class InitLevelOut(NamedTuple):
     n_good: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "level", "snapped"))
+@functools.partial(jax.jit, static_argnames=("iters", "level"))
 def init_level(
     img3_new,               # [H_l, W_l, 3] new-frame pyramid level
     uv,                     # [N, 2] level-0 coords of points
@@ -119,21 +119,26 @@ def init_level(
         bd = jnp.sum(om * Jd * r, axis=-1)
         E = jnp.sum(jnp.where(good[:, None], om * r * r * (2.0 - hw), 0.0))
 
-        # α-prior / coupling prior (reference: alphaOpt switching)
+        # α-prior / coupling prior (reference: alphaOpt switching).
+        # `snapped` is a TRACED bool so the pre/post-snap variants share
+        # ONE compiled program (remote compiles cost 1-70s each on the
+        # TPU tunnel; the static-arg split doubled the initializer bill)
         n_pts = jnp.maximum(jnp.sum(good), 1)
-        if not snapped:
-            Hdd = Hdd + alpha_w
-            bd = bd + alpha_w * (d - 1.0)
-            H = H.at[jnp.arange(3), jnp.arange(3)].add(alpha_w * n_pts)
-            b = b.at[:3].add(alpha_w * t * n_pts)
-        else:
-            Hdd = Hdd + coupling
-            bd = bd + coupling * (d - iR)
+        Hdd = Hdd + jnp.where(snapped, coupling, alpha_w)
+        bd = bd + jnp.where(snapped, coupling * (d - iR),
+                            alpha_w * (d - 1.0))
+        H = H.at[jnp.arange(3), jnp.arange(3)].add(
+            jnp.where(snapped, 0.0, alpha_w * n_pts))
+        b = b.at[:3].add(jnp.where(snapped, 0.0, alpha_w) * t * n_pts)
         return H, b, Hxd, Hdd, bd, E, pt_ok, e_pt
 
     def body(carry, _):
-        T, ab, d, iR, good, lam = carry
-        H, b, Hxd, Hdd, bd, E, pt_ok, e_pt = system(T, ab, d, iR, good)
+        """ONE system evaluation per iteration: the current state's GN
+        system rides in the carry (same restructure as tracker.track_level
+        — the previous evaluate-twice form doubled both the gather traffic
+        and the compiled program size)."""
+        T, ab, d, iR, good, lam, sysc = carry
+        H, b, Hxd, Hdd, bd, E, pt_ok, e_pt = sysc
         inv_dd = 1.0 / (Hdd * (1.0 + lam) + 1e-10)
         H_sc = jnp.einsum("pi,p,pj->ij", Hxd, inv_dd, Hxd, precision=_HI)
         b_sc = jnp.einsum("pi,p->i", Hxd, inv_dd * bd, precision=_HI)
@@ -150,20 +155,22 @@ def init_level(
         med = jnp.median(nbr_iR, axis=-1)
         iR_new = (1.0 - reg_weight) * d_new + reg_weight * med
         good_new = good & pt_ok
-        _, _, _, _, _, E_new, _, _ = system(T_new, ab_new, d_new, iR_new, good_new)
-        accept = E_new < E
+        sys2 = system(T_new, ab_new, d_new, iR_new, good_new)
+        accept = sys2[5] < E
         T = jnp.where(accept, T_new, T).astype(T.dtype)
         ab = jnp.where(accept, ab_new, ab).astype(ab.dtype)
         d = jnp.where(accept, d_new, d).astype(d.dtype)
         iR = jnp.where(accept, iR_new, iR).astype(iR.dtype)
         good = jnp.where(accept, good_new, good)
+        sysc = jax.tree.map(lambda a_, b_: jnp.where(accept, b_, a_), sysc, sys2)
         lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-5), lam * 4.0).astype(lam.dtype)
-        return (T, ab, d, iR, good, lam), None
+        return (T, ab, d, iR, good, lam, sysc), None
 
     lam0 = jnp.asarray(0.1, T0.dtype)
-    (T, ab, d, iR, good, lam), _ = jax.lax.scan(
-        body, (T0, ab0, idepth0, iR0, good0, lam0), None, length=iters)
-    H, b, Hxd, Hdd, bd, E, pt_ok, e_pt = system(T, ab, d, iR, good)
+    sys0 = system(T0, ab0, idepth0, iR0, good0)
+    (T, ab, d, iR, good, lam, sysc), _ = jax.lax.scan(
+        body, (T0, ab0, idepth0, iR0, good0, lam0, sys0), None, length=iters)
+    H, b, Hxd, Hdd, bd, E, pt_ok, e_pt = sysc
     t_norm_sq = jnp.sum(T[:3, 3] ** 2)
     return InitLevelOut(T=T, ab=ab, idepth=d, iR=iR, good=good & pt_ok,
                         energy=E, t_norm_sq=t_norm_sq,

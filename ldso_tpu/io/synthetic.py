@@ -237,6 +237,7 @@ class SyntheticDataset:
     traj_kind: str = "forward_arc"
     exposure_wobble: bool = False
     cache: bool = True
+    supersample: int = 2      # 1 = fast render (throughput benches)
 
     def __post_init__(self):
         from ldso_tpu import cameras
@@ -264,7 +265,9 @@ class SyntheticDataset:
         if self.cache and i in self._cache:
             img = self._cache[i][0]
         else:
-            img, idep = self.scene.render(self.poses_w_c[i], self.calib.out_intr, self.w, self.h)
+            img, idep = self.scene.render(self.poses_w_c[i], self.calib.out_intr,
+                                          self.w, self.h,
+                                          supersample=self.supersample)
             img = img * self._exposures[i]
             if self.cache:
                 self._cache[i] = (img, idep)

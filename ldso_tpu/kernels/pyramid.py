@@ -13,6 +13,7 @@ limit for this op).
 
 from __future__ import annotations
 
+import os
 from typing import List, Tuple
 
 import jax
@@ -56,14 +57,11 @@ def _gradients(img):
     return dx, dy
 
 
-def build_pyramid(img, levels: int):
-    """img [H, W] f32 -> (pyramid, grad_sq):
-      pyramid: list of [H_l, W_l, 3] (I, dx, dy) stacks, finest first
-      grad_sq: list of [H_l, W_l] squared gradient magnitude (absSquaredGrad)
-    """
+def build_pyramid_xla(img, levels: int):
+    """Pure-XLA pyramid build (the portable fallback path)."""
     pyr = []
     gsq = []
-    cur = img
+    cur = jnp.asarray(img).astype(jnp.float32)  # uint8 frames widen on-device
     for l in range(levels):
         dx, dy = _gradients(cur)
         pyr.append(jnp.stack([cur, dx, dy], axis=-1))
@@ -71,6 +69,29 @@ def build_pyramid(img, levels: int):
         if l + 1 < levels:
             cur = _downsample2(cur)
     return pyr, gsq
+
+
+def build_pyramid(img, levels: int, use_pallas: bool | None = None):
+    """img [H, W] f32 -> (pyramid, grad_sq):
+      pyramid: list of [H_l, W_l, 3] (I, dx, dy) stacks, finest first
+      grad_sq: list of [H_l, W_l] squared gradient magnitude (absSquaredGrad)
+
+    With ``LDSO_PALLAS_PYRAMID=1`` (TPU only) the fused Pallas stencil
+    kernel is used (kernels/pallas_pyramid.py — one HBM read per input
+    pixel, all four per-level outputs in one pass); the default is the
+    fused-XLA build, which benchmarks equal-or-faster at 640x480 frame
+    sizes once XLA fuses the level programs (scripts/bench_pyramid.py
+    measures both on hardware). Both paths are numerically equivalent
+    (tests/test_frontend.py pallas equivalence).
+    """
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and bool(os.environ.get("LDSO_PALLAS_PYRAMID")))
+    if use_pallas:
+        from ldso_tpu.kernels.pallas_pyramid import build_pyramid_pallas
+
+        return build_pyramid_pallas(img, levels, interpret=False)
+    return build_pyramid_xla(img, levels)
 
 
 def build_pyramid_jit(levels: int):

@@ -97,15 +97,62 @@ class LoopClosing:
         (:class:`AsyncLoopClosing`) snapshots the same inputs and runs
         :meth:`_process` on a worker thread."""
         win, slot = system.win, kf.slot      # consistent snapshot (pytree ref)
-        return self._process(system, kf, pyr[0], win, slot)
+        return self._process(system, kf, pyr[0], win, slot, system.bank)
 
-    def _process(self, system, kf, pyr0, win, slot) -> Optional[dict]:
+    @staticmethod
+    def _immature_depth_sources(win, bank, slot):
+        """Project converged immature candidates into ``slot``'s frame —
+        extra (uv, idepth) depth sources for feature-depth transfer (the
+        reference reads immature AND active depths around each corner;
+        active points alone starve the transfer on low-parallax legs)."""
+        from ldso_tpu import trace as trace_mod
+
+        v = np.asarray(bank.valid)
+        st = np.asarray(bank.last_status)
+        d_min = np.asarray(bank.idepth_min)
+        d_max = np.asarray(bank.idepth_max)
+        mid = 0.5 * (d_min + d_max)
+        conv = (v & (st == trace_mod.GOOD) & np.isfinite(d_max)
+                & (mid > 1e-4) & ((d_max - d_min) < 0.1 * np.maximum(mid, 1e-4)))
+        if not conv.any():
+            return np.zeros((0, 2), np.float32), np.zeros(0, np.float32)
+        host = np.asarray(bank.host_slot)[conv]
+        uv = np.asarray(bank.uv)[conv]
+        d0 = mid[conv]
+        T = np.asarray(win.current_pose(), np.float64)
+        fx, fy, cx, cy = (float(x) for x in np.asarray(win.c))
+        T_rel = np.einsum("ij,pjk->pik", T[slot], np.linalg.inv(T)[host])
+        xh = np.stack([(uv[:, 0] - cx) / fx, (uv[:, 1] - cy) / fy,
+                       np.ones(len(uv))], axis=-1)
+        Xc = np.einsum("pij,pj->pi", T_rel[:, :3, :3], xh) \
+            + T_rel[:, :3, 3] * d0[:, None]
+        z = Xc[:, 2]
+        okz = z > 1e-6
+        zs = np.where(okz, z, 1.0)
+        uvn = np.stack([fx * Xc[:, 0] / zs + cx, fy * Xc[:, 1] / zs + cy],
+                       axis=-1).astype(np.float32)
+        return uvn[okz], (d0 / zs)[okz].astype(np.float32)
+
+    def _process(self, system, kf, pyr0, win, slot, bank=None) -> Optional[dict]:
         cfg = self.cfg
         feats = orb.detect(pyr0, max_features=cfg.loop.max_features,
                            fast_th=cfg.loop.orb_fast_th)
         uv_np = np.asarray(feats.uv)
         pt_uv, pt_idep, _, pt_valid = (np.asarray(a) for a in
                                        self._points_in_kf(win, slot))
+        # only WELL-CONSTRAINED depths may back loop geometry: points
+        # whose idepth Hessian is weak (low-parallax, e.g. a distant
+        # backdrop) carry map-inconsistent depths that poison the Sim3
+        # scale estimate (reference: idepth_hessian gates throughout)
+        hdd = getattr(system, "last_idepth_hessian", None)
+        if hdd is not None and len(hdd) == len(pt_valid):
+            pt_valid = pt_valid & (hdd > 20.0 * cfg.ba.min_idepth_hessian)
+        pt_uv, pt_idep = pt_uv[pt_valid], pt_idep[pt_valid]
+        if bank is not None:
+            im_uv, im_idep = self._immature_depth_sources(win, bank, slot)
+            pt_uv = np.concatenate([pt_uv, im_uv])
+            pt_idep = np.concatenate([pt_idep, im_idep])
+        pt_valid = np.ones(len(pt_uv), bool)
         X, ok = _assign_depth(uv_np, pt_uv, pt_idep, pt_valid, self.intr)
         ok &= np.asarray(feats.valid)
         snap = KFSnapshot(kf.kf_id, feats, None, X, ok)
@@ -178,38 +225,59 @@ class LoopClosing:
                                      float(scores[best]))
 
     def _geometric_check(self, system, kf, snap, cand_id, score):
+        """PnP-first geometric verification (reference flow: matched
+        candidate 3D points → cv::solvePnPRansac for the SE3 seed, then
+        the Sim(3) refine with reprojection residuals on BOTH frames,
+        LoopClosing.cc:~L150). Scale comes from the two-sided-depth
+        subset; with too few such pairs the edge falls back to scale 1."""
         cfg = self.cfg
         cand = self.snapshots[cand_id]
         m = match.match(snap.feats.desc, snap.feats.valid,
                         cand.feats.desc, cand.feats.valid)
         m_valid = np.asarray(m.valid)
         idx_b = np.asarray(m.idx_b)
-        # correspondence with depth on both sides
-        pair_ok = m_valid & snap.has_depth & cand.has_depth[idx_b]
-        if pair_ok.sum() < cfg.loop.min_matches:
+        # PnP needs candidate-side depth only (reference: candidate KF's
+        # matched features with valid depth become the 3D points)
+        pair_pnp = m_valid & cand.has_depth[idx_b]
+        if pair_pnp.sum() < cfg.loop.min_matches:
             return dict(candidate=cand_id, score=score, accepted=False,
-                        reason="matches", n=int(pair_ok.sum()))
+                        reason="matches", n=int(pair_pnp.sum()))
 
         X_a = jnp.asarray(snap.X_cam, jnp.float32)
         uv_a = snap.feats.uv
         X_b = jnp.asarray(cand.X_cam[idx_b], jnp.float32)
         uv_b = cand.feats.uv[jnp.asarray(idx_b)]
-        valid = jnp.asarray(pair_ok)
 
         self._key, sub = jax.random.split(self._key)
-        r = sim3.ransac_sim3(X_a, uv_a, X_b, uv_b, valid,
-                             jnp.asarray(self.intr), sub,
-                             n_hyps=cfg.loop.ransac_hypotheses,
-                             threshold=cfg.loop.ransac_threshold)
+        r = sim3.ransac_pnp(X_b, uv_a, jnp.asarray(pair_pnp),
+                            jnp.asarray(self.intr), sub,
+                            n_hyps=cfg.loop.ransac_hypotheses,
+                            threshold=cfg.loop.ransac_threshold)
         if int(r.n_inliers) < cfg.loop.min_inliers:
             return dict(candidate=cand_id, score=score, accepted=False,
                         reason="ransac", n_inliers=int(r.n_inliers))
-        rf = sim3.refine_sim3(r.S_ab, X_a, uv_a, X_b, uv_b, r.inliers,
-                              valid, jnp.asarray(self.intr),
-                              iters=cfg.loop.sim3_iterations)
-        if int(rf.n_inliers) < cfg.loop.min_inliers:
-            return dict(candidate=cand_id, score=score, accepted=False,
-                        reason="refine", n_inliers=int(rf.n_inliers))
+
+        # Sim3 refine over the two-sided-depth inlier subset
+        pair_both = pair_pnp & snap.has_depth
+        two_sided = np.asarray(r.inliers) & pair_both
+        if two_sided.sum() >= max(8, cfg.loop.min_inliers // 2):
+            rf = sim3.refine_sim3(r.S_ab, X_a, uv_a, X_b, uv_b,
+                                  jnp.asarray(two_sided),
+                                  jnp.asarray(pair_both),
+                                  jnp.asarray(self.intr),
+                                  iters=cfg.loop.sim3_iterations)
+            if int(rf.n_inliers) < max(6, cfg.loop.min_inliers // 2):
+                return dict(candidate=cand_id, score=score, accepted=False,
+                            reason="refine", n_inliers=int(rf.n_inliers))
+        else:
+            # scale-1 fallback: refine the SE3 on the PnP inliers
+            rf = sim3.refine_pnp(r.S_ab, X_b, uv_a, r.inliers,
+                                 jnp.asarray(pair_pnp),
+                                 jnp.asarray(self.intr),
+                                 iters=cfg.loop.sim3_iterations)
+            if int(rf.n_inliers) < cfg.loop.min_inliers:
+                return dict(candidate=cand_id, score=score, accepted=False,
+                            reason="refine", n_inliers=int(rf.n_inliers))
 
         # S_cur_cand maps candidate-camera points into current camera:
         # as a pose constraint, S_cur_w = S_cur_cand · S_cand_w
@@ -314,7 +382,9 @@ class LoopClosing:
             for k in kf_ids:
                 i = kf_index[k]
                 if not fixed[i] and not system.kfs[k].in_window:
-                    # strip scale into translation (Sim3 → SE3 for export)
+                    # keep the full Sim3 (scale-aware map consumers) and
+                    # its center-preserving SE3 projection for trajectory
+                    system.kfs[k].S_cw_opti = S_opt[i].copy()
                     system.kfs[k].T_cw = np.asarray(
                         lie.sim3_to_se3(jnp.asarray(S_opt[i])), np.float64)
 
@@ -352,7 +422,8 @@ class AsyncLoopClosing(LoopClosing):
             exc, self._exc = self._exc, None
             raise exc
         with self._cv:
-            self._queue.append((system, kf, pyr[0], system.win, kf.slot))
+            self._queue.append((system, kf, pyr[0], system.win, kf.slot,
+                                system.bank))
             self._cv.notify_all()
         return None
 

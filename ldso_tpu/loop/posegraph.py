@@ -177,9 +177,11 @@ def build_edges(pose_edges, kf_index: dict, capacity: int,
             continue
         ei[k] = kf_index[e.kf_a]
         ej[k] = kf_index[e.kf_b]
+        # T_ab is already the full measured transform: SE3 (scale 1) for
+        # odometry edges, Sim3 with the scale IN the rotation block for
+        # loop edges (closing.py stores S_cur_cand verbatim; the
+        # PoseEdge.scale field is metadata, NOT to be re-applied)
         S_meas[k] = np.asarray(e.T_ab, dtype)
-        if getattr(e, "scale", 1.0) != 1.0:
-            S_meas[k][:3, :3] *= e.scale
         w[k] = 5.0 if e.kind == "loop" else 1.0
         k += 1
     return ei, ej, S_meas, w

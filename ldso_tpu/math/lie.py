@@ -122,14 +122,18 @@ def so3_log(R):
     q = matrix_to_quat(R)
     q = q * jnp.where(q[..., 3:4] < 0, -1.0, 1.0)  # angle in [0, pi]
     xyz, w = q[..., :3], q[..., 3]
-    n = jnp.linalg.norm(xyz, axis=-1)
-    small = n < 1e-8
-    safe_n = jnp.where(small, 1.0, n)
+    # AD-safe norm: sum-of-squares first, sqrt only of a safe value —
+    # jnp.linalg.norm has a NaN gradient at 0, and identity rotations
+    # (straight trajectories!) hit exactly 0 (the NaN would silently
+    # zero out pose-graph Jacobians via jacfwd)
+    nsq = jnp.sum(xyz * xyz, axis=-1)
+    small = nsq < 1e-16
+    n = jnp.sqrt(jnp.where(small, 1.0, nsq))
     # phi = 2·atan2(n, w)/n · xyz ; small-n limit: 2/w·(1 - n²/(3w²)) · xyz
     scale = jnp.where(
         small,
-        2.0 / jnp.maximum(w, 1e-12) * (1.0 - n * n / (3.0 * jnp.maximum(w * w, 1e-12))),
-        2.0 * jnp.arctan2(n, w) / safe_n,
+        2.0 / jnp.maximum(w, 1e-12) * (1.0 - nsq / (3.0 * jnp.maximum(w * w, 1e-12))),
+        2.0 * jnp.arctan2(n, w) / n,
     )
     return scale[..., None] * xyz
 
@@ -349,9 +353,16 @@ def se3_to_sim3(T):
 
 
 def sim3_to_se3(T):
-    """Project Sim(3) -> SE(3) by stripping scale (keep R, t)."""
+    """Project Sim(3) -> SE(3) preserving the transform's POSE.
+
+    For a world-to-cam Sim3 [sR | t] the camera center is
+    C = −(1/s)·Rᵀ·t; the SE(3) with the same center and rotation is
+    (R, t/s) — keeping t unscaled would displace the camera by the
+    factor s (reference analog: Sim3::translation()/scale() composition
+    when LDSO converts optimized Sim3 poses for export)."""
     s = sim3_scale(T)
-    return se3(T[..., :3, :3] / s[..., None, None], translation(T))
+    return se3(T[..., :3, :3] / s[..., None, None],
+               translation(T) / s[..., None])
 
 
 # ---------------------------------------------------------------------------

@@ -137,6 +137,11 @@ class KeyframeRecord:
     T_cw: np.ndarray              # [4,4] worldToCam (refreshed by BA; final at marg)
     slot: int                     # window slot while active; -1 after
     in_window: bool = True
+    # full Sim(3) worldToCam from the global pose graph (reference:
+    # Frame::TcwOpti / setPoseOpti) — scale-aware map consumers (point
+    # export, viz) compose depths through this; T_cw above is its
+    # center-preserving SE3 projection used by the odometry/trajectory
+    S_cw_opti: Optional[np.ndarray] = None
     # filled by the loop-closing subsystem (features, BoW vector)
     features: Optional[dict] = None
 
@@ -235,6 +240,7 @@ class FullSystem:
         self._min_act_dist = cfg.selector.min_act_dist
         self._last_act_stats: dict = {}
         self.metrics: List[dict] = []
+        self.last_idepth_hessian: Optional[np.ndarray] = None  # [P] post-BA
         # hooks the loop-closing subsystem assigns
         self.on_keyframe = None
         self.loop_closing = None
@@ -273,7 +279,11 @@ class FullSystem:
         fid = self.frame_count
         self.frame_count += 1
         ts = float(timestamp) if timestamp is not None else float(fid)
-        img = np.asarray(img, dtype=np.float32)[: self.h, : self.w]
+        # keep uint8 frames uint8: the device programs widen on-chip and
+        # the 4x-smaller h2d transfer matters on the latency-bound tunnel
+        img = np.asarray(img)[: self.h, : self.w]
+        if img.dtype != np.uint8:
+            img = img.astype(np.float32, copy=False)
 
         if self.initialized and not self.is_lost:
             return self._track_and_map(fid, ts, exposure, img)
@@ -438,10 +448,22 @@ class FullSystem:
 
         rec = (fid, ts, exposure, out, ref_kf_id, T_ref_np)
         if self.pipeline_depth > 0:
-            # deferred decision: dispatch ahead, read results N frames late
+            # deferred decision: dispatch ahead, read results N frames
+            # late. Readbacks are BATCHED — one stacked d2h transfer
+            # drains half the pipeline, so the device-tunnel round trip
+            # amortizes over depth/2 frames instead of recurring per
+            # frame (the RTT, not compute, bounds tracked fps here)
             self._pending.append(rec)
             if len(self._pending) > self.pipeline_depth:
-                return self._process_tracked(*self._pending.popleft())
+                k = max(1, self.pipeline_depth // 2)
+                batch = [self._pending.popleft() for _ in range(k)]
+                diags = np.asarray(jnp.stack([b[3].diag for b in batch]))
+                st = None
+                for b, diag in zip(batch, diags):
+                    st = self._process_tracked(*b, diag=diag)
+                    if st.get("status") == "lost":
+                        break
+                return st
             return dict(status="pending", frame_id=fid)
         return self._process_tracked(*rec)
 
@@ -461,11 +483,12 @@ class FullSystem:
             self._process_tracked(*self._pending.popleft())
 
     def _process_tracked(self, fid, ts, exposure, out, ref_kf_id,
-                         T_ref_cw) -> dict:
+                         T_ref_cw, diag=None) -> dict:
         """Consume one tracking result: lost check, trajectory record,
         KF decision, hand-off to the mapping back half."""
         cfg = self.cfg
-        diag = np.asarray(out.diag)               # the per-frame readback
+        if diag is None:
+            diag = np.asarray(out.diag)           # the per-frame readback
         rmse0 = float(diag[frame_step.DIAG_RMSE0])
         if self.first_coarse_rmse < 0:
             self.first_coarse_rmse = rmse0
@@ -623,7 +646,11 @@ class FullSystem:
         n_after_drop = int(np.asarray(self.win.p_valid).sum())
         status.update(n_act=n_after_act - n_before,
                       n_drop=n_after_act - n_after_drop,
-                      e_per_res=stats.energy_final / max(stats.num_residuals, 1))
+                      # photometric-only: the total includes the prior's
+                      # quadratic expansion whose constant is dropped
+                      # (legitimately negative) — useless as a health metric
+                      e_per_res=stats.energy_photo / max(stats.num_residuals, 1),
+                      e_prior=stats.energy_final - stats.energy_photo)
         for slot in marg_slots:
             self._marginalize_frame(slot)
 
@@ -663,6 +690,11 @@ class FullSystem:
         anchor = self._oldest_slot()
         self.win, stats = solve.run_ba(self.win, self.HM, self.bM, self.cfg,
                                        anchor_slot=anchor)
+        # per-point idepth Hessian at the solution: consumers (loop
+        # snapshot depth transfer, marginalize-vs-drop gate) use it as
+        # the "depth actually observable" signal (reference:
+        # PointHessian::idepth_hessian)
+        self.last_idepth_hessian = stats.idepth_hessian
         return stats
 
     def _oldest_slot(self) -> int:
@@ -783,8 +815,11 @@ class FullSystem:
 
         aff_prior = np.array([0.0] * 6 + [cfg.ba.affine_prior_a,
                                           cfg.ba.affine_prior_b])
-        aff_delta = np.asarray(self.win.x[slot] - self.win.x_zero[slot],
-                               dtype=np.float64)
+        # the diagonal prior pins ABSOLUTE a,b to zero (ba/solve.py
+        # prior_offset): in delta coordinates its gradient at Δ=0 is
+        # λ·x_zero — the fold convention bM := ∂E/∂Δ|_{Δ=0}
+        aff_delta = np.asarray(self.win.x_zero[slot], dtype=np.float64)
+        aff_delta[:6] = 0.0
         self.HM, self.bM = marginal.marginalize_frame(
             slot, self.HM, self.bM, frame_prior_diag=aff_prior,
             frame_prior_delta=aff_delta)

@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from ldso_tpu.core.window import PATTERN_OFFSETS
-from ldso_tpu.kernels.interp import bilinear33, in_bounds
+from ldso_tpu.kernels.interp import (bilinear33, bilinear_packed, in_bounds,
+                                     pack_corners)
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -113,13 +114,18 @@ def trace_points(
     steps = jnp.linspace(0.0, 1.0, num_samples)
     sample_uv = p_min[:, None, :] + (length[:, None] * steps[None, :])[..., None] * dir_[:, None, :]  # [N, K, 2]
 
-    # pattern SSD at every sample (affine-corrected host colors)
+    # pattern SSD at every sample (affine-corrected host colors). The
+    # sweep needs INTENSITY only — gather from a corner-packed intensity
+    # plane (one 4-channel gather per sample instead of four 3-channel
+    # ones; this N·K·8-sample sweep is the kernel's entire HBM bill)
+    packed_I = pack_corners(img3_new[..., :1])                     # [H, W, 4]
     pred = ab_hn[:, 0:1] * color + ab_hn[:, 1:2]                  # [N, 8]
     samp = sample_uv[:, :, None, :] + pat[None, None, :, :]        # [N, K, 8, 2]
-    hit = bilinear33(img3_new, samp)
-    diff = hit[..., 0] - pred[:, None, :]
-    ssd = jnp.sum(diff * diff, axis=-1)                            # [N, K]
     inb = jnp.all(in_bounds(samp, w, h, 2.0), axis=-1)             # [N, K]
+    samp = jnp.where(inb[..., None, None], samp, 2.0)
+    hit_I = bilinear_packed(packed_I, samp, 1)[..., 0]             # [N, K, 8]
+    diff = hit_I - pred[:, None, :]
+    ssd = jnp.sum(diff * diff, axis=-1)                            # [N, K]
     ssd = jnp.where(inb, ssd, jnp.inf)
 
     best_k = jnp.argmin(ssd, axis=-1)

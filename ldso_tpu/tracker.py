@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ldso_tpu.cameras import level_intrinsics
-from ldso_tpu.kernels.interp import bilinear33, in_bounds
+from ldso_tpu.kernels.interp import (bilinear33, bilinear_packed, in_bounds,
+                                     pack_corners)
 from ldso_tpu.math import lie
 
 _HI = jax.lax.Precision.HIGHEST
@@ -63,14 +64,25 @@ def make_tracker_ref(
     points_uv, points_idepth, points_color, points_valid,
     levels: int, exposure: float = 1.0, aff_ab=(0.0, 0.0),
 ) -> TrackerRef:
-    """Build per-level reference lists from level-0 points."""
+    """Build per-level reference lists from level-0 points.
+
+    Coarser levels keep a DECIMATED point set (N >> l, floor 256): a
+    40x30 coarse level has ~1.2k pixels — tracking 4k points there is
+    pure waste, and the per-level GN cost is linear in the list length.
+    Valid points are compacted to the front so the truncation drops
+    padding first (reference analog: the semi-dense maps simply shrink
+    with the level resolution, CoarseTracker::makeCoarseDepthL0)."""
+    n = points_uv.shape[0]
+    order = jnp.argsort(~points_valid)            # stable: valid first
     uvs, ids, cols, vals = [], [], [], []
     for l in range(levels):
         s = 0.5 ** l
-        uvs.append(points_uv * s + (0.5 * s - 0.5))  # pixel-center-consistent scaling
-        ids.append(points_idepth)
-        cols.append(points_color)
-        vals.append(points_valid)
+        n_l = min(n, max(256, n >> l))
+        sel = order[:n_l]
+        uvs.append(points_uv[sel] * s + (0.5 * s - 0.5))  # pixel-center-consistent
+        ids.append(points_idepth[sel])
+        cols.append(points_color[sel])
+        vals.append(points_valid[sel])
     return TrackerRef(
         uv=tuple(uvs), idepth=tuple(ids), color=tuple(cols), valid=tuple(vals),
         exposure=jnp.asarray(exposure, jnp.float32),
@@ -78,9 +90,13 @@ def make_tracker_ref(
     )
 
 
-def _level_residuals(img3, uv, idepth, color, valid, T, ab, intr_l, w, h,
+def _level_residuals(packed, uv, idepth, color, valid, T, ab, intr_l, w, h,
                      cutoff, huber_th):
     """Residuals + per-point weights for one level at relative state (T, ab).
+
+    ``packed`` is the corner-packed (I, dx, dy) level image
+    (kernels/interp.pack_corners) — ONE gather per sample instead of
+    four; the gathers are what bounds this kernel on TPU.
 
     Returns r [N], omega [N] (0 for saturated/OOB), proj uv' [N, 2],
     in-view mask, saturated mask, and the projection geometry for J."""
@@ -99,7 +115,7 @@ def _level_residuals(img3, uv, idepth, color, valid, T, ab, intr_l, w, h,
     uv_new = jnp.stack([u_pix, v_pix], axis=-1)
     inb = in_bounds(uv_new, w, h, 2.0) & ok_z & valid
 
-    hit = bilinear33(img3, uv_new)
+    hit = bilinear_packed(packed, jnp.where(inb[..., None], uv_new, 2.0), 3)
     # affine: r = I_new − e^a·(I_ref) − b  (exposure folded into a by caller)
     r = hit[..., 0] - jnp.exp(ab[0]) * color - ab[1]
     saturated = jnp.abs(r) > cutoff
@@ -109,12 +125,12 @@ def _level_residuals(img3, uv, idepth, color, valid, T, ab, intr_l, w, h,
     return r, omega, hit, up, vp, new_id, inb, saturated
 
 
-def _level_system(img3, uv, idepth, color, valid, T, ab, intr_l, w, h,
+def _level_system(packed, uv, idepth, color, valid, T, ab, intr_l, w, h,
                   cutoff, huber_th):
     """8x8 GN system for one level (reference: calcRes + calcGSSSE)."""
     fx, fy = intr_l[0], intr_l[1]
     r, omega, hit, up, vp, new_id, inb, sat = _level_residuals(
-        img3, uv, idepth, color, valid, T, ab, intr_l, w, h, cutoff, huber_th)
+        packed, uv, idepth, color, valid, T, ab, intr_l, w, h, cutoff, huber_th)
     g = hit[..., 1:3]                                             # [N, 2]
     zeros = jnp.zeros_like(up)
     Jp_u = jnp.stack([new_id * fx, zeros, -new_id * up * fx,
@@ -143,42 +159,55 @@ def track_level(img3, uv, idepth, color, valid, T0, ab0, intr_l,
                 lam_fail: float = 4.0, step_eps: float = 1e-6):
     """LM iterations at one pyramid level (reference: trackNewestCoarse's
     per-level loop with lambda control and small-increment early break —
-    a lax.while_loop so converged levels stop paying for iterations)."""
+    a lax.while_loop so converged levels stop paying for iterations).
+
+    ONE residual/system evaluation per iteration: the GN system of the
+    accepted state is carried in the loop state, so an accepted step
+    pays one evaluation (at the new state) and a rejected step pays one
+    (none — the carried system is reused with a larger λ). This mirrors
+    the reference's calcRes-once-per-trial structure and halves the
+    gather traffic of the previous evaluate-twice formulation."""
+
+    packed = pack_corners(img3)       # once per level call, loop-invariant
 
     def gn_system(T, ab):
-        return _level_system(img3, uv, idepth, color, valid, T, ab,
+        return _level_system(packed, uv, idepth, color, valid, T, ab,
                              intr_l, w, h, cutoff, huber_th)
 
     dt = T0.dtype
 
     def cond(carry):
-        _, _, _, it, done = carry
+        T, ab, lam, sysc, it, done = carry
         return (it < iters) & ~done
 
     def body(carry):
-        T, ab, lam, it, done = carry
-        H, b, E, n_ok, n_in, n_sat = gn_system(T, ab)
+        T, ab, lam, sysc, it, done = carry
+        H, b, E, n_ok, n_in, n_sat = sysc
         n_safe = jnp.maximum(n_ok, 1)
         Hd = H.at[jnp.arange(8), jnp.arange(8)].multiply(1.0 + lam)
         Hd = Hd + 1e-4 * jnp.eye(8, dtype=dt) * jnp.maximum(jnp.trace(H) / 8.0, 1e-6)
         step = -jnp.linalg.solve(Hd, b)
         T_new = lie.se3_mul(lie.se3_exp(step[:6]), T)
         ab_new = ab + step[6:8]
-        _, _, E_new, n_ok2, _, _ = gn_system(T_new, ab_new)
-        accept = (E_new / jnp.maximum(n_ok2, 1)) < (E / n_safe)
+        sys2 = gn_system(T_new, ab_new)
+        accept = (sys2[2] / jnp.maximum(sys2[3], 1)) < (E / n_safe)
+
         T = jnp.where(accept, T_new, T).astype(dt)
         ab = jnp.where(accept, ab_new, ab).astype(dt)
+        sysc = jax.tree.map(lambda a, b_: jnp.where(accept, b_, a), sysc, sys2)
         lam = jnp.where(accept, jnp.maximum(lam * lam_success, 1e-5),
                         lam * lam_fail).astype(dt)
-        # reference: "inc too small" break once an accepted step stalls
-        done = accept & (jnp.max(jnp.abs(step)) < step_eps)
-        return (T, ab, lam, it + 1, done)
+        # reference: "inc too small" break once an accepted step stalls;
+        # also stop once λ has blown up (every step rejected)
+        done = (accept & (jnp.max(jnp.abs(step)) < step_eps)) | (lam > 1e3)
+        return (T, ab, lam, sysc, it + 1, done)
 
-    T, ab, lam, _, _ = jax.lax.while_loop(
+    sys0 = gn_system(T0, ab0.astype(dt))
+    T, ab, lam, sysc, _, _ = jax.lax.while_loop(
         cond, body,
-        (T0, ab0.astype(dt), jnp.asarray(lam0, dt), jnp.int32(0),
-         jnp.asarray(False)))
-    H, b, E, n_ok, n_in, n_sat = gn_system(T, ab)
+        (T0, ab0.astype(dt), jnp.asarray(lam0, dt), sys0,
+         jnp.int32(0), jnp.asarray(False)))
+    H, b, E, n_ok, n_in, n_sat = sysc
     rmse = jnp.sqrt(E / jnp.maximum(n_ok, 1))
     return T, ab, rmse, n_ok, n_in, n_sat
 
@@ -199,7 +228,12 @@ def track_frame(
     tcfg = cfg.tracker
     iters = list(tcfg.max_iterations) + [50] * levels
 
-    # coarse stage: all hypotheses at the top two levels
+    # coarse stage: all hypotheses at the top two levels. The BATCHED
+    # ladder runs few iterations per level — under vmap every lane pays
+    # for the slowest, so a handful of LM steps to rank the hypotheses
+    # is the right budget; the winner gets the full per-level iteration
+    # counts in the fine stage (the reference instead early-exits its
+    # SEQUENTIAL ladder at `res < 1.5 x best`, CoarseTracker.cc:~L600).
     K = T_inits.shape[0]
     rmses = None
     T_cand, ab_cand = T_inits, jnp.broadcast_to(ab_init, (K, 2))
@@ -209,7 +243,7 @@ def track_frame(
         fn = jax.vmap(
             lambda T0, ab0: track_level(
                 pyr_new[l], ref.uv[l], ref.idepth[l], ref.color[l], ref.valid[l],
-                T0, ab0, intr_l, w, h, int(iters[l]),
+                T0, ab0, intr_l, w, h, min(int(iters[l]), 12),
                 float(tcfg.coarse_cutoff_th * (2.0 ** l)), float(tcfg.huber_th),
                 lam0=float(tcfg.lambda_initial),
                 lam_success=float(tcfg.lambda_success),

@@ -1,0 +1,148 @@
+"""Per-kernel TPU microbenchmarks: compile time + steady-state time.
+
+Times the engine's hot device programs one at a time at production
+shapes (640x480, preset "default"):
+  pyramid_xla / pyramid_pallas — the per-frame pyramid build
+  fused_step                   — pyramid+track+trace single dispatch
+  track_step                   — pyramid+track (pipelined mode)
+  trace_step                   — epipolar trace of the immature bank
+  ba_gn_step                   — one windowed-BA Gauss-Newton iteration
+
+Usage: python scripts/bench_kernels.py [kernel ...]   (default: all)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def timed(name, build, run, n=20):
+    """build() -> args for run(); times first call (compile) + steady."""
+    args = build()
+    t0 = time.perf_counter()
+    out = run(*args)
+    import jax
+    jax.block_until_ready(out)
+    t_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = run(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n
+    print(json.dumps(dict(kernel=name, compile_s=round(t_compile, 2),
+                          steady_ms=round(1e3 * dt, 3))), flush=True)
+    return dt
+
+
+def main(which):
+    import jax
+    import jax.numpy as jnp
+
+    from ldso_tpu.config import preset
+    from ldso_tpu.core import bank as bank_mod
+    from ldso_tpu import frame_step, tracker
+    from ldso_tpu.kernels import pyramid as pyr_mod
+
+    cfg = preset("default")
+    w, h = 640, 480
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((h, w), np.float32) * 255.0)
+    L = cfg.shapes.pyr_levels
+
+    if "pyramid_xla" in which:
+        f = jax.jit(lambda x: pyr_mod.build_pyramid_xla(x, L))
+        timed("pyramid_xla", lambda: (img,), f)
+    if "pyramid_pallas" in which:
+        from ldso_tpu.kernels.pallas_pyramid import build_pyramid_pallas
+        f = jax.jit(lambda x: build_pyramid_pallas(x, L, interpret=False))
+        timed("pyramid_pallas", lambda: (img,), f)
+
+    # common tracking inputs
+    def make_ref():
+        n = cfg.shapes.track_points
+        uv = jnp.asarray(
+            rng.uniform([8, 8], [w - 8, h - 8], (n, 2)).astype(np.float32))
+        idep = jnp.asarray(rng.uniform(0.2, 2.0, n).astype(np.float32))
+        col = jnp.asarray(rng.uniform(30, 220, n).astype(np.float32))
+        val = jnp.ones(n, bool)
+        return tracker.make_tracker_ref(uv, idep, col, val, L)
+
+    intr = jnp.asarray([0.88 * w, 0.88 * w, w / 2 - 0.5, h / 2 - 0.5],
+                       jnp.float32)
+    eye = jnp.eye(4, dtype=jnp.float32)
+
+    def make_bank():
+        b = bank_mod.empty_bank(cfg.shapes.max_immature)
+        n = cfg.shapes.max_immature
+        return b._replace(
+            valid=jnp.ones(n, bool),
+            host_slot=jnp.zeros(n, jnp.int32),
+            uv=jnp.asarray(rng.uniform([8, 8], [w - 8, h - 8], (n, 2)),
+                           jnp.float32),
+            color=jnp.asarray(rng.uniform(30, 220, (n, 8)), jnp.float32),
+            idepth_min=jnp.full(n, 0.1, jnp.float32),
+            idepth_max=jnp.full(n, 2.0, jnp.float32))
+
+    if "track_step" in which or "fused_step" in which or "trace_step" in which:
+        from ldso_tpu.core import window as win_mod
+        win = win_mod.empty_window(cfg, h, w, np.asarray(intr))
+        ref = make_ref()
+        bank = make_bank()
+        ab0 = jnp.zeros(2, jnp.float32)
+        if "track_step" in which:
+            timed("track_step",
+                  lambda: (img, ref, eye, eye, ab0, intr, jnp.float32(1.0), cfg),
+                  frame_step.track_step)
+        if "trace_step" in which:
+            img3 = jnp.stack([img, img, img], axis=-1)
+            timed("trace_step",
+                  lambda: (img3, bank, win.T_eval, win.x, win.exposure,
+                           eye, ab0, jnp.float32(1.0), intr, cfg),
+                  frame_step.trace_step)
+        if "fused_step" in which:
+            timed("fused_step",
+                  lambda: (img, ref, eye, eye, ab0, bank, win.T_eval, win.x,
+                           win.exposure, eye, intr, jnp.float32(1.0), cfg),
+                  frame_step.fused_step)
+
+    if "ba_gn_step" in which:
+        from ldso_tpu.ba.residuals import assemble
+        from ldso_tpu.ba.solve import (apply_step, _solve_core, fix_mask,
+                                       prior_diag, prior_offset, scale_vector)
+        from ldso_tpu.core.window import state_delta
+        from ldso_tpu.eval.toys import make_synthetic_window
+
+        win, _ = make_synthetic_window(cfg, w=w, h=h, n_frames=6,
+                                       idepth_noise=0.05, pose_noise=0.003)
+        F = cfg.shapes.max_frames
+        D = cfg.shapes.state_dim
+        prior_d = jnp.asarray(prior_diag(np.asarray(win.frame_valid), cfg),
+                              jnp.float32)
+        s_vec = jnp.asarray(scale_vector(F, cfg.scales))
+        fixed = jnp.asarray(fix_mask(F, 0))
+        HM = jnp.zeros((D, D), jnp.float32)
+        bM = jnp.zeros(D, jnp.float32)
+
+        @jax.jit
+        def gn(win):
+            sys_ = assemble(win, huber_th=cfg.ba.huber_th,
+                            outlier_sum=cfg.ba.outlier_th_sum_component)
+            dx, dd = _solve_core(
+                sys_.H, sys_.b, sys_.H_xd, sys_.H_dd, sys_.b_d,
+                HM, bM, state_delta(win), prior_d, s_vec, fixed,
+                jnp.zeros(D, jnp.float32), jnp.float32(1e-5), win.p_valid,
+                prior_off=prior_offset(win))
+            return apply_step(win, dx, dd)
+
+        timed("ba_gn_step", lambda: (win,), gn)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1:] or ["pyramid_xla", "pyramid_pallas", "track_step",
+                             "trace_step", "fused_step", "ba_gn_step"]
+    main(which)

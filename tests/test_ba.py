@@ -273,6 +273,42 @@ class TestBAConvergence:
         cos = t_est @ t_gt / (np.linalg.norm(t_est) * np.linalg.norm(t_gt) + 1e-12)
         assert cos > 0.999, f"translation direction cos {cos}"
 
+    def test_lambda_ladder_reject_path(self):
+        """force_accept=False: the reference's energy-reject λ ladder
+        (reference: FullSystem::optimize accept/reject + lambda update).
+        Must still converge, never accept an energy-increasing step, and
+        land close to the force-accept solution."""
+        win, ds = make_synthetic_window(n_points=150, pose_noise=0.004,
+                                        idepth_noise=0.05)
+        D = CFG.shapes.state_dim
+        HM, bM = marginal.empty_prior(D)
+        win_r, st_r = solve.run_ba(win, HM, bM, CFG, anchor_slot=0,
+                                   force_accept=False)
+        win_a, st_a = solve.run_ba(win, HM, bM, CFG, anchor_slot=0)
+        assert st_r.energy_final <= st_r.energy_initial
+        assert st_r.energy_final < 1.5 * st_a.energy_final + 1e-3
+        # both reach the same relative pose (gauge-invariant compare)
+        Tr = np.asarray(win_r.current_pose())
+        Ta = np.asarray(win_a.current_pose())
+        rel_r = Tr[2] @ np.linalg.inv(Tr[0])
+        rel_a = Ta[2] @ np.linalg.inv(Ta[0])
+        err = np.asarray(lie.se3_log(jnp.asarray(
+            rel_r @ np.linalg.inv(rel_a), jnp.float64)))
+        assert np.linalg.norm(err[3:]) < 5e-3, f"rot divergence {err}"
+
+    def test_lambda_ladder_rejects_bad_system(self):
+        """With a garbage initial state the reject path must back off
+        (λ grows) instead of committing divergent steps."""
+        win, _ = make_synthetic_window(n_points=120, pose_noise=0.3,
+                                       idepth_noise=0.4, seed=3)
+        D = CFG.shapes.state_dim
+        HM, bM = marginal.empty_prior(D)
+        win_r, st = solve.run_ba(win, HM, bM, CFG, anchor_slot=0,
+                                 force_accept=False)
+        # energy must be monotone non-increasing by construction
+        assert st.energy_final <= st.energy_initial + 1e-6
+        assert np.isfinite(st.energy_final)
+
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])

@@ -186,3 +186,32 @@ class TestActivation:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+class TestPallasPyramid:
+    """The Pallas fused pyramid kernel is the TPU production path
+    (kernels/pyramid.build_pyramid dispatches to it on TPU); CI validates
+    it in interpret mode against the XLA build bit-for-bit-ish."""
+
+    def test_matches_xla_build(self):
+        from ldso_tpu.kernels.pallas_pyramid import build_pyramid_pallas
+
+        rng = np.random.default_rng(7)
+        img = jnp.asarray(rng.random((96, 128), np.float32) * 255.0)
+        pyr_x, gsq_x = pyramid.build_pyramid_xla(img, 4)
+        pyr_p, gsq_p = build_pyramid_pallas(img, 4, interpret=True)
+        for l in range(4):
+            np.testing.assert_allclose(np.asarray(pyr_p[l]),
+                                       np.asarray(pyr_x[l]),
+                                       rtol=1e-6, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(gsq_p[l]),
+                                       np.asarray(gsq_x[l]),
+                                       rtol=1e-6, atol=1e-3)
+
+    def test_dispatch_uses_xla_off_tpu(self):
+        # on the CPU CI backend build_pyramid must silently fall back
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.random((64, 64), np.float32))
+        pyr, gsq = pyramid.build_pyramid(img, 3)
+        pyr_x, _ = pyramid.build_pyramid_xla(img, 3)
+        np.testing.assert_allclose(np.asarray(pyr[0]), np.asarray(pyr_x[0]))
