@@ -183,6 +183,95 @@ def apply_step(win: Window, dx, dd) -> Window:
     )
 
 
+def _prior_diag_traced(frame_valid, cfg: LdsoConfig):
+    """Traced twin of :func:`prior_diag` (device-side, [D])."""
+    F = frame_valid.shape[0]
+    per = jnp.where(
+        frame_valid[:, None],
+        jnp.asarray([0.0] * 6 + [cfg.ba.affine_prior_a, cfg.ba.affine_prior_b],
+                    jnp.float32)[None, :],
+        jnp.ones((8,), jnp.float32)[None, :],   # invalid slots: unit diagonal
+    )
+    cam = jnp.full((4,), cfg.ba.intrinsics_prior, jnp.float32)
+    return jnp.concatenate([per.reshape(8 * F), cam])
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "anchor_slot"))
+def _ba_loop_device(win: Window, HM, bM, cfg: LdsoConfig, anchor_slot: int):
+    """The ENTIRE force-accept GN loop as ONE device program.
+
+    Semantically identical to the host loop in :func:`run_ba` with
+    ``force_accept=True`` (the reference default,
+    setting_forceAceptStep): fixed small λ, steps applied
+    unconditionally, early stop once the increment is small — but
+    instead of ~4 dispatches + 3 host readbacks per iteration this is a
+    single dispatch with a single packed readback, which is what the
+    latency-bound remote-TPU path needs (SURVEY §7.2 risk 5). The
+    early-stop is a freeze: iterations after convergence are no-ops on a
+    fixed iteration budget (static shapes; XLA-friendly control flow).
+    """
+    F = win.num_frames
+    huber = cfg.ba.huber_th
+    osum = cfg.ba.outlier_th_sum_component
+    lam = jnp.float32(cfg.ba.lambda_initial)
+
+    # loop-invariant solver inputs (FEJ quantities never move in-loop)
+    prior_d = _prior_diag_traced(win.frame_valid, cfg)
+    s_vec = jnp.asarray(scale_vector(F, cfg.scales))
+    fixed = jnp.asarray(fix_mask(F, anchor_slot))
+    N_scale = scale_nullspace(win, anchor_slot)
+    p_off = prior_offset(win)
+    HM = HM.astype(jnp.float32)
+    bM = bM.astype(jnp.float32)
+
+    def total_energy(photo_E, w):
+        delta = state_delta(w)
+        da = delta + p_off
+        return (photo_E
+                + jnp.dot(delta, bM)
+                + 0.5 * jnp.dot(delta, jnp.matmul(HM, delta, precision=_HI))
+                + 0.5 * jnp.sum(prior_d * da * da))
+
+    def body(carry, it):
+        x, c, pid, done, n_steps, E0 = carry
+        w = win._replace(x=x, c=c, p_idepth=pid)
+        sys = assemble(w, huber_th=huber, outlier_sum=osum)
+        E_here = total_energy(sys.energy, w)
+        E0 = jnp.where(it == 0, E_here, E0)
+        dx, dd = _solve_core(
+            sys.H, sys.b, sys.H_xd, sys.H_dd, sys.b_d,
+            HM, bM, state_delta(w), prior_d, s_vec, fixed,
+            N_scale, lam, win.p_valid, prior_off=p_off)
+        w2 = apply_step(w, dx, cfg.scales.idepth * dd)
+        step = jnp.max(jnp.abs(dx))
+        upd = ~done
+        x = jnp.where(upd, w2.x, x)
+        c = jnp.where(upd, w2.c, c)
+        pid = jnp.where(upd, w2.p_idepth, pid)
+        n_steps = n_steps + jnp.where(upd, 1, 0)
+        done = done | ((step < cfg.ba.step_break_th)
+                       & (it + 1 >= cfg.ba.min_iterations))
+        return (x, c, pid, done, n_steps, E0), None
+
+    init = (win.x, win.c, win.p_idepth,
+            jnp.asarray(False), jnp.int32(0), jnp.float32(0.0))
+    (x, c, pid, _, n_steps, E0), _ = jax.lax.scan(
+        body, init, jnp.arange(cfg.ba.max_iterations))
+
+    win = win._replace(x=x, c=c, p_idepth=pid)
+    sys = assemble(win, huber_th=huber, outlier_sum=osum)
+    E = total_energy(sys.energy, win)
+
+    # final residual-activity refresh (reference: removeOutliers tail)
+    outlier_pair = sys.e_pair > (cfg.ba.outlier_th * 8.0)
+    win = win._replace(res_mask=win.res_mask & ~sys.oob_pair & ~outlier_pair)
+
+    diag = dict(n_steps=n_steps, E0=E0, E=E, num_res=sys.num_res,
+                energy_photo=sys.energy, H_dd=sys.H_dd,
+                valid_pair=sys.valid_pair)
+    return win, diag
+
+
 class BAStats(NamedTuple):
     iterations: int
     energy_initial: float
@@ -205,10 +294,30 @@ def run_ba(
     anchor_slot: int = 0,         # gauge-fixed slot (oldest KF in window)
     force_accept: bool = True,    # reference default: setting_forceAceptStep
 ) -> Tuple[Window, BAStats]:
-    """Host-driven Gauss-Newton loop (reference: FullSystem::optimize).
+    """Windowed-BA Gauss-Newton loop (reference: FullSystem::optimize).
 
-    Device work per iteration: one assemble + one solve (+ an energy
-    evaluation in reject mode). λ fixed small in force-accept mode."""
+    force_accept=True (the reference default): the whole loop runs as a
+    single fused device program (:func:`_ba_loop_device`) — one dispatch
+    and one packed readback per keyframe. force_accept=False keeps the
+    host-driven energy-reject λ ladder (per-iteration accept decisions
+    need the energy on the host)."""
+    if force_accept:
+        win2, d = _ba_loop_device(win, jnp.asarray(HM, jnp.float32),
+                                  jnp.asarray(bM, jnp.float32),
+                                  cfg, anchor_slot)
+        d = jax.device_get(d)           # ONE transfer for every stat
+        stats = BAStats(
+            iterations=int(d["n_steps"]),
+            energy_initial=float(d["E0"]),
+            energy_final=float(d["E"]),
+            num_residuals=int(d["num_res"]),
+            lam_final=float(cfg.ba.lambda_initial),
+            energy_photo=float(d["energy_photo"]),
+            idepth_hessian=np.asarray(d["H_dd"]),
+            valid_pair=np.asarray(d["valid_pair"]),
+        )
+        return win2, stats
+
     F = win.num_frames
     valid = np.asarray(win.frame_valid)
     p_diag = jnp.asarray(prior_diag(valid, cfg))
