@@ -70,7 +70,7 @@ def bench_tracked_frames(n_warm: int = 30, n_timed: int = 120):
     def drive(async_mode: bool, depth: int):
         sys_ = FullSystem(cfg, ds.intrinsics(), ds.w, ds.h,
                           async_mapping=async_mode, pipeline_depth=depth)
-        stage_ms = {"track": [], "kf": []}
+        call_ms = []
         try:
             for i in range(n_warm):
                 img, ts, expo = frames[i]
@@ -78,34 +78,43 @@ def bench_tracked_frames(n_warm: int = 30, n_timed: int = 120):
             sys_.finish_mapping()
             assert sys_.initialized and not sys_.is_lost, "warmup failed"
 
+            n_kf_warm = len(sys_.kf_ms)
             t0 = time.perf_counter()
             for i in range(n_warm, n_total):
                 img, ts, expo = frames[i]
                 t_a = time.perf_counter()
                 st = sys_.add_frame(img, ts, expo)
-                t_b = time.perf_counter()
-                key = "kf" if st.get("need_kf") else "track"
-                stage_ms[key].append(1e3 * (t_b - t_a))
+                call_ms.append(1e3 * (time.perf_counter() - t_a))
                 if st.get("status") == "lost":
                     break
             sys_.finish_mapping()
             dt = time.perf_counter() - t0
             n_done = i - n_warm + 1
+            # per-KF build time measured INSIDE the mapping thread
+            # (kf_ms) — the add_frame call time says nothing about KF
+            # cost in pipelined mode (the old attribution bug)
+            kf_ms = sys_.kf_ms[n_kf_warm:]
+            stages = sys_.kf_stage_ms[n_kf_warm:]
+            stage_med = {}
+            if stages:
+                for k in stages[0]:
+                    stage_med[k] = round(float(np.median(
+                        [s[k] for s in stages if k in s])), 1)
             return dict(
                 frames_per_s=n_done / dt,
                 n_frames=n_done,
                 n_keyframes=len(sys_.kfs),
                 lost=bool(sys_.is_lost),
-                ms_per_tracked_frame=float(np.median(stage_ms["track"]))
-                if stage_ms["track"] else -1.0,
-                ms_per_keyframe=float(np.median(stage_ms["kf"]))
-                if stage_ms["kf"] else -1.0,
+                ms_per_tracked_frame=float(np.median(call_ms))
+                if call_ms else -1.0,
+                ms_per_keyframe=float(np.median(kf_ms)) if kf_ms else -1.0,
+                kf_stage_ms=stage_med,
             )
         finally:
             sys_.shutdown()
 
     sync = drive(False, 0)
-    pipe = drive(True, 4)
+    pipe = drive(True, 8)
     best = pipe if pipe["frames_per_s"] >= sync["frames_per_s"] else sync
     best = dict(best)
     best["sync_frames_per_s"] = sync["frames_per_s"]
@@ -173,6 +182,7 @@ def main():
         "lost": tracked["lost"],
         "ms_per_tracked_frame": round(tracked["ms_per_tracked_frame"], 2),
         "ms_per_keyframe": round(tracked["ms_per_keyframe"], 2),
+        "kf_stage_ms": tracked.get("kf_stage_ms", {}),
         "ba_gn_iters_per_s": round(ba_iters, 2),
         "ba_vs_baseline": round(ba_iters / BASELINE_BA_ITERS_PER_S, 2),
     }))

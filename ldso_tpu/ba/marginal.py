@@ -56,11 +56,13 @@ def marginalize_points(
         win_m, huber_th=cfg.ba.huber_th,
         outlier_sum=cfg.ba.outlier_th_sum_component, mode="fej",
     )
-    H = np.asarray(sys.H, dtype=np.float64)
-    b = np.asarray(sys.b, dtype=np.float64)
-    Hxd = np.asarray(sys.H_xd, dtype=np.float64)
-    Hdd = np.asarray(sys.H_dd, dtype=np.float64)
-    bd = np.asarray(sys.b_d, dtype=np.float64)
+    # one batched device→host pull (sequential np.asarray would pay a
+    # tunnel round trip per array)
+    import jax
+
+    H, b, Hxd, Hdd, bd = (
+        np.asarray(a, dtype=np.float64)
+        for a in jax.device_get((sys.H, sys.b, sys.H_xd, sys.H_dd, sys.b_d)))
 
     active = marg_mask & (Hdd > 1e-8)
     inv_dd = np.where(active, 1.0 / np.maximum(Hdd, 1e-8), 0.0)

@@ -268,7 +268,14 @@ def _ba_loop_device(win: Window, HM, bM, cfg: LdsoConfig, anchor_slot: int):
 
     diag = dict(n_steps=n_steps, E0=E0, E=E, num_res=sys.num_res,
                 energy_photo=sys.energy, H_dd=sys.H_dd,
-                valid_pair=sys.valid_pair)
+                valid_pair=sys.valid_pair,
+                # post-BA window state the host KF path needs — packed
+                # into the SAME readback so flagging/marginalization/
+                # tracker-ref rebuild pay zero extra round trips
+                T=lie.se3_mul(lie.se3_exp(x[:, :6]), win.T_eval),
+                x=x, x_zero=win.x_zero, exposure=win.exposure,
+                p_valid=win.p_valid, p_host=win.p_host,
+                p_idepth=pid, res_mask=win.res_mask)
     return win, diag
 
 
@@ -284,6 +291,16 @@ class BAStats(NamedTuple):
     # gate input (reference: PointHessian::idepth_hessian)
     idepth_hessian: object = None     # np [P]
     valid_pair: object = None         # np bool [P, F]
+    # post-BA window snapshot (host numpy, from the same packed readback)
+    # — lets the whole KF path run without further device round trips
+    poses: object = None              # np [F, 4, 4] current worldToCam
+    x: object = None                  # np [F, 8]
+    x_zero: object = None             # np [F, 8]
+    exposure: object = None           # np [F]
+    p_valid: object = None            # np bool [P]
+    p_host: object = None             # np i32 [P]
+    p_idepth: object = None           # np [P]
+    res_mask: object = None           # np bool [P, F]
 
 
 def run_ba(
@@ -315,6 +332,14 @@ def run_ba(
             energy_photo=float(d["energy_photo"]),
             idepth_hessian=np.asarray(d["H_dd"]),
             valid_pair=np.asarray(d["valid_pair"]),
+            poses=np.asarray(d["T"], np.float64),
+            x=np.asarray(d["x"]),
+            x_zero=np.asarray(d["x_zero"]),
+            exposure=np.asarray(d["exposure"]),
+            p_valid=np.asarray(d["p_valid"]),
+            p_host=np.asarray(d["p_host"]),
+            p_idepth=np.asarray(d["p_idepth"]),
+            res_mask=np.asarray(d["res_mask"]),
         )
         return win2, stats
 
@@ -393,5 +418,13 @@ def run_ba(
         energy_photo=float(sys.energy),
         idepth_hessian=np.asarray(sys.H_dd),
         valid_pair=np.asarray(sys.valid_pair),
+        poses=np.asarray(win.current_pose(), np.float64),
+        x=np.asarray(win.x),
+        x_zero=np.asarray(win.x_zero),
+        exposure=np.asarray(win.exposure),
+        p_valid=np.asarray(win.p_valid),
+        p_host=np.asarray(win.p_host),
+        p_idepth=np.asarray(win.p_idepth),
+        res_mask=np.asarray(win.res_mask),
     )
     return win, stats

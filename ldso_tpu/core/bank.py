@@ -88,7 +88,12 @@ class HostBank:
 
 
 def to_host(bank: Bank) -> HostBank:
-    return HostBank(**{f: np.asarray(getattr(bank, f)).copy()
+    # ONE batched device→host transfer (sequential np.asarray would pay
+    # a full tunnel round trip per field — 11 RTTs on a remote device)
+    import jax
+
+    vals = jax.device_get(bank)
+    return HostBank(**{f: np.array(getattr(vals, f))
                        for f in Bank._fields})
 
 

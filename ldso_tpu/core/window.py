@@ -22,8 +22,10 @@ First-Estimate-Jacobian machinery):
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -191,4 +193,49 @@ def connect_new_frame(win: Window, slot: int) -> Window:
     toward it (except points it hosts)."""
     return win._replace(
         res_mask=win.res_mask.at[:, slot].set(win.p_valid & (win.p_host != slot))
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("outlier_sum",))
+def activate_points_device(
+    win: Window,
+    slots,                    # [K] i32 point-bank slots to fill (>= P drops)
+    host,                     # [K] i32 per-point host window slot
+    uv,                       # [K, 2] f32 pixel in host frame
+    idepth,                   # [K] f32
+    outlier_sum: float = 2500.0,
+) -> Window:
+    """Multi-host activation in ONE dispatch: samples each point's
+    8-pattern colors + static gradient weights from its HOST frame's
+    image (static loop over the F window slots, masked accumulate) and
+    scatters everything into the bank (reference: activatePointsMT →
+    PointHessian ctor + ef->insertResidual; the old per-host-slot loop
+    paid one device round trip per slot)."""
+    F = win.num_frames
+    pat = jnp.asarray(PATTERN_OFFSETS)
+    uvp = uv[:, None, :] + pat[None]                         # [K, 8, 2]
+    color = jnp.zeros((uv.shape[0], 8), jnp.float32)
+    gsq = jnp.zeros((uv.shape[0], 8), jnp.float32)
+    from ldso_tpu.kernels.interp import bilinear33
+    for f in range(F):
+        hit = bilinear33(win.images[f], uvp)                 # [K, 8, 3]
+        m = (host == f)[:, None]
+        color = jnp.where(m, hit[..., 0], color)
+        gsq = jnp.where(m, jnp.sum(hit[..., 1:3] ** 2, axis=-1), gsq)
+    weight = jnp.sqrt(outlier_sum / (outlier_sum + gsq))
+
+    slots = jnp.asarray(slots)
+    host = jnp.asarray(host, jnp.int32)
+    res_rows = win.frame_valid[None, :] \
+        & (jnp.arange(F)[None, :] != host[:, None])          # [K, F]
+    idep = jnp.asarray(idepth, jnp.float32)
+    return win._replace(
+        p_valid=win.p_valid.at[slots].set(True, mode="drop"),
+        p_host=win.p_host.at[slots].set(host, mode="drop"),
+        p_uv=win.p_uv.at[slots].set(jnp.asarray(uv, jnp.float32), mode="drop"),
+        p_color=win.p_color.at[slots].set(color, mode="drop"),
+        p_weight=win.p_weight.at[slots].set(weight, mode="drop"),
+        p_idepth=win.p_idepth.at[slots].set(idep, mode="drop"),
+        p_idepth_zero=win.p_idepth_zero.at[slots].set(idep, mode="drop"),
+        res_mask=win.res_mask.at[slots].set(res_rows, mode="drop"),
     )

@@ -122,4 +122,8 @@ def load_checkpoint(path: str, cfg) -> "FullSystem":
     if system.initialized and system.ref_kf is not None:
         system._update_tracker_ref(system.kfs[system.ref_kf])
         system.last_rel_ab = data["last_rel_ab"]
+        # rebuild the device-side constant-velocity prediction pair from
+        # the restored trajectory state (a hard sync point — the live
+        # system carries this on device and never re-derives it)
+        system._resync_prediction(system._T_ref_cw_np)
     return system

@@ -95,16 +95,36 @@ def _sample_pattern(img3, uv, outlier_sum: float = 2500.0):
     return color, weight
 
 
-@jax.jit
-def _relative_to_slots(win: Window, slot):
-    """hostToTarget transforms + affine transfer from `slot` to every
-    window slot (for immature-point activation)."""
-    T = win.current_pose()
-    T_rel = jnp.einsum("fij,jk->fik", T, lie.se3_inverse(T[slot]), precision=_HI)
-    ea = win.exposure * jnp.exp(win.x[:, 6])
-    alpha = ea / ea[slot]                                       # [F] host(slot)→target
-    beta = win.x[:, 7] - alpha * win.x[slot, 7]
-    return T_rel, alpha, beta
+@functools.partial(jax.jit, static_argnames=("cfg", "seed"))
+def _seed_program(pyr0, gsq1, gsq2, cfg, seed: int):
+    """Candidate-seeding device program: corner detection + gradient
+    selection + 8-pattern color/weight sampling for BOTH pools, fused
+    into ONE dispatch with ONE packed readback (reference:
+    makeNewTraces = FeatureDetector + PixelSelector + ImmaturePoint
+    ctors — each a separate host call there, each a tunnel RTT here)."""
+    osum = float(cfg.ba.outlier_th_sum_component)
+    out = {}
+    if cfg.selector.corner_fraction > 0:
+        from ldso_tpu.loop import orb
+
+        feats = orb.detect(pyr0, max_features=cfg.loop.max_features,
+                           fast_th=cfg.loop.orb_fast_th)
+        c_color, c_weight = _sample_pattern(pyr0, feats.uv, outlier_sum=osum)
+        out.update(corner_uv=feats.uv, corner_score=feats.score,
+                   corner_valid=feats.valid, corner_color=c_color,
+                   corner_weight=c_weight)
+    uv, scores, valid = select.select_pixels(
+        pyr0, gsq1, gsq2,
+        num_want=int(cfg.selector.desired_immature_density),
+        block=cfg.selector.block, pot=5,
+        min_cut=cfg.selector.min_grad_hist_cut,
+        min_add=cfg.selector.min_grad_hist_add,
+        down_weight=cfg.selector.grad_down_weight_per_level,
+        seed=seed)
+    s_color, s_weight = _sample_pattern(pyr0, uv, outlier_sum=osum)
+    out.update(sel_uv=uv, sel_valid=valid, sel_color=s_color,
+               sel_weight=s_weight)
+    return out
 
 
 def _pad_rows(a: np.ndarray, cap: int, fill=0.0) -> np.ndarray:
@@ -235,6 +255,11 @@ class FullSystem:
         self._T_ref_cw_np = np.eye(4)
         self._ref_version = 0            # bumped at every tracker-ref swap
         self._dispatch_ref_version = 0
+        self._dispatch_T_ref_np = np.eye(4)
+        self._async_copy_ok = True       # device→host async copy support
+        self._n_active_cache = 0         # active-point count (updated per KF)
+        self.kf_ms: List[float] = []     # wall ms per keyframe build
+        self.kf_stage_ms: List[dict] = []  # per-KF stage breakdown
         self._pending: collections.deque = collections.deque()
         # adaptive activation spacing (reference: currentMinActDist)
         self._min_act_dist = cfg.selector.min_act_dist
@@ -402,6 +427,7 @@ class FullSystem:
         self._update_tracker_ref(kf1)
         self.T_last_cw = np.asarray(self.kfs[kf1.kf_id].T_cw)
         self.T_prelast_cw = np.eye(4)
+        self._resync_prediction(self._T_ref_cw_np)
         self.initialized = True
         if self.on_keyframe is not None:
             self.on_keyframe(self, kf0, self._first_pyr)
@@ -421,14 +447,20 @@ class FullSystem:
             ref_version = self._ref_version
 
         # ref swapped since the last dispatch → re-express the device
-        # prediction state relative to the new ref (one host computation
-        # per keyframe — the reference's setCoarseTrackingRef sync point)
+        # prediction pair relative to the new ref WITHOUT draining the
+        # pipeline: T_rel_new = T_rel_old · T_oldref_cw · T_newref_cw⁻¹
+        # is a pure device-side right-multiply (the old per-KF
+        # _drain_pending() flushed the whole pipeline and paid full
+        # tunnel RTTs at every keyframe — the dominant stall at 25 fps).
+        # _dispatch_T_ref_np is tracking-thread-local: the ref pose the
+        # in-flight dispatches were actually expressed against.
         if self._dispatch_ref_version != ref_version:
-            self._drain_pending()
-            if self.is_lost:
-                return dict(status="lost", frame_id=fid)
-            self._resync_prediction(T_ref_np)
+            D_np = self._dispatch_T_ref_np @ np.linalg.inv(T_ref_np)
+            D_dev = jnp.asarray(D_np, jnp.float32)
+            self._T_last_rel = lie.se3_mul(self._T_last_rel, D_dev)
+            self._T_prelast_rel = lie.se3_mul(self._T_prelast_rel, D_dev)
             self._dispatch_ref_version = ref_version
+            self._dispatch_T_ref_np = T_ref_np
 
         ab0 = jnp.asarray(self.last_rel_ab, jnp.float32)
         if self.pipeline_depth > 0:
@@ -449,12 +481,22 @@ class FullSystem:
         rec = (fid, ts, exposure, out, ref_kf_id, T_ref_np)
         if self.pipeline_depth > 0:
             # deferred decision: dispatch ahead, read results N frames
-            # late. Readbacks are BATCHED — one stacked d2h transfer
-            # drains half the pipeline, so the device-tunnel round trip
-            # amortizes over depth/2 frames instead of recurring per
-            # frame (the RTT, not compute, bounds tracked fps here)
+            # late. The diag's device→host copy is STARTED at dispatch
+            # (copy_to_host_async), so by the time the entry ages out of
+            # the pipeline (depth frames ≈ one tunnel RTT later) the
+            # value is already host-side and the read is free — steady
+            # state pays ~zero blocking RTTs per tracked frame.
+            if self._async_copy_ok:
+                try:
+                    out.diag.copy_to_host_async()
+                except (AttributeError, NotImplementedError):
+                    self._async_copy_ok = False
             self._pending.append(rec)
             if len(self._pending) > self.pipeline_depth:
+                if self._async_copy_ok:
+                    return self._process_tracked(*self._pending.popleft())
+                # fallback (no async copies): batch one stacked d2h
+                # transfer to amortize the RTT over depth/2 frames
                 k = max(1, self.pipeline_depth // 2)
                 batch = [self._pending.popleft() for _ in range(k)]
                 diags = np.asarray(jnp.stack([b[3].diag for b in batch]))
@@ -469,7 +511,8 @@ class FullSystem:
 
     def _resync_prediction(self, T_ref_cw: np.ndarray):
         """Re-express the device-side (T_last, T_prelast) prediction pair
-        relative to ``T_ref_cw`` from the host trajectory state."""
+        relative to ``T_ref_cw`` from the host trajectory state (hard
+        sync points only: initialization, relocalization)."""
         inv_ref = np.linalg.inv(T_ref_cw)
         T_l = (self.T_last_cw @ inv_ref if self.T_last_cw is not None
                else np.eye(4))
@@ -477,6 +520,8 @@ class FullSystem:
                if self.T_prelast_cw is not None else T_l)
         self._T_last_rel = jnp.asarray(T_l, jnp.float32)
         self._T_prelast_rel = jnp.asarray(T_p, jnp.float32)
+        self._dispatch_T_ref_np = np.asarray(T_ref_cw, np.float64).copy()
+        self._dispatch_ref_version = self._ref_version
 
     def _drain_pending(self):
         while self._pending:
@@ -516,7 +561,9 @@ class FullSystem:
 
         status = dict(status="tracked", frame_id=fid, rmse=rmse0,
                       flow=flow.tolist(), need_kf=bool(need_kf),
-                      n_active=int(np.sum(np.asarray(self.win.p_valid))))
+                      # host-cached count (reading win.p_valid here would
+                      # pay a full tunnel RTT on EVERY tracked frame)
+                      n_active=self._n_active_cache)
         a_abs = float(diag[frame_step.DIAG_A_ABS])
         b_abs = float(diag[frame_step.DIAG_B_ABS])
 
@@ -615,6 +662,21 @@ class FullSystem:
     def _make_keyframe(self, fid, ts, exposure, pyr, T_cw, aff_ab, status,
                        frame_rec: Optional[FrameRecord] = None,
                        traced: bool = False):
+        """The whole keyframe build costs FIVE blocking device round
+        trips (trace/insert dispatch → snapshot pull → activation GN pull
+        → fused-BA diag pull → [marg assembly pull] → seed pull); every
+        other interaction is a fire-and-forget dispatch. On the
+        latency-bound device tunnel this is what bounds mapping-thread
+        throughput (reference: makeKeyFrame is pure local compute)."""
+        import time as _time
+        t_kf0 = _time.perf_counter()
+        stage = {}
+
+        def _mark(name, _t=[t_kf0]):
+            now = _time.perf_counter()
+            stage[name] = 1e3 * (now - _t[0])
+            _t[0] = now
+
         cfg = self.cfg
         if not traced:
             self._trace_immatures(pyr[0], T_cw, exposure, aff_ab)
@@ -625,39 +687,51 @@ class FullSystem:
         rec.T_from_ref = np.eye(4)
         rec.is_kf = True
         self.win = win_mod.connect_new_frame(self.win, kf.slot)
+        _mark("insert")
 
-        # one bank pull per keyframe: host-side lifecycle surgery happens
-        # on this snapshot and is pushed back at the end
-        bank = bank_mod.to_host(self.bank)
+        # READBACK 1 — bank + pre-BA window snapshot, one batched pull:
+        # host-side lifecycle surgery runs on this, pushed back at the end
+        snap = jax.device_get(dict(
+            bank={f: getattr(self.bank, f) for f in bank_mod.Bank._fields},
+            p_valid=self.win.p_valid, p_uv=self.win.p_uv,
+            p_idepth=self.win.p_idepth, p_host=self.win.p_host,
+            T=self.win.current_pose(), c=self.win.c))
+        bank = bank_mod.HostBank(
+            **{f: np.array(v) for f, v in snap["bank"].items()})
+        _mark("snapshot")
         status.update(
             n_imm=int(bank.valid.sum()),
             n_imm_good=int((bank.valid
                             & (bank.last_status == trace_mod.GOOD)).sum()),
             n_imm_q=int((bank.valid & (bank.last_status == trace_mod.GOOD)
                          & (bank.quality > self.cfg.trace.min_quality)).sum()))
-        n_before = int(np.asarray(self.win.p_valid).sum())
-        self._activate_points(kf, bank)
-        n_after_act = int(np.asarray(self.win.p_valid).sum())
-        stats = self._run_ba()
-        self._refresh_kf_poses()
+        n_before = int(snap["p_valid"].sum())
+        n_act = self._activate_points(kf, bank, snap)   # READBACK 2 inside
+        _mark("activate")
+        stats = self._run_ba()                          # READBACK 3 (packed)
+        _mark("ba")
+        self._refresh_kf_poses(stats.poses)
 
         marg_slots = self._flag_frames_for_marginalization(stats)
-        self._remove_and_marginalize_points(stats, marg_slots)
-        n_after_drop = int(np.asarray(self.win.p_valid).sum())
-        status.update(n_act=n_after_act - n_before,
-                      n_drop=n_after_act - n_after_drop,
+        n_goners = self._remove_and_marginalize_points(stats, marg_slots)
+        self._n_active_cache = n_before + n_act - n_goners
+        status.update(n_act=n_act,
+                      n_drop=n_goners,
                       # photometric-only: the total includes the prior's
                       # quadratic expansion whose constant is dropped
                       # (legitimately negative) — useless as a health metric
                       e_per_res=stats.energy_photo / max(stats.num_residuals, 1),
                       e_prior=stats.energy_final - stats.energy_photo)
         for slot in marg_slots:
-            self._marginalize_frame(slot)
+            self._marginalize_frame(slot, stats)
+        _mark("marginalize")
 
         self._cull_immatures(marg_slots, bank)
-        self._make_new_immatures(kf.slot, pyr, bank)
+        self._make_new_immatures(kf.slot, pyr, bank)    # READBACK 4 inside
+        _mark("seed")
         self.bank = bank_mod.from_host(bank)
-        self._update_tracker_ref(kf)
+        self._update_tracker_ref(kf, stats)
+        _mark("ref_swap")
 
         status.update(
             ba_energy=stats.energy_final, ba_iters=stats.iterations,
@@ -668,6 +742,10 @@ class FullSystem:
             self.on_keyframe(self, kf, pyr)
         if self._async and self._kf_inflight > 0:
             self._kf_inflight -= 1
+        self.kf_ms.append(1e3 * (_time.perf_counter() - t_kf0))
+        status["kf_ms"] = self.kf_ms[-1]
+        status["kf_stage_ms"] = {k: round(v, 1) for k, v in stage.items()}
+        self.kf_stage_ms.append(stage)
 
     def _new_kf(self, fid, ts, T_cw, img3, exposure, aff_ab) -> KeyframeRecord:
         slot = next(i for i, k in enumerate(self.slot_kf) if k is None)
@@ -701,8 +779,9 @@ class FullSystem:
         act = [(kid, s) for s, kid in enumerate(self.slot_kf) if kid is not None]
         return min(act)[1] if act else 0
 
-    def _refresh_kf_poses(self):
-        T = np.asarray(self.win.current_pose(), dtype=np.float64)
+    def _refresh_kf_poses(self, poses: Optional[np.ndarray] = None):
+        T = (np.asarray(poses, dtype=np.float64) if poses is not None
+             else np.asarray(self.win.current_pose(), dtype=np.float64))
         with self.state_lock:
             for slot, kid in enumerate(self.slot_kf):
                 if kid is not None:
@@ -723,15 +802,15 @@ class FullSystem:
         slots = [s for _, s in active]
         newest_slot = active[-1][1]
 
-        p_host = np.asarray(self.win.p_host)
-        p_valid = np.asarray(self.win.p_valid)
+        p_host = stats.p_host
+        p_valid = stats.p_valid
         vp = stats.valid_pair if stats.valid_pair is not None else None
 
         flagged: List[int] = []
         n_keep = len(active)
         # rule 1: drop frames with almost no points visible in the newest KF
         # or a large affine gap to it (reference: <5% in-view, maxLogAffFac)
-        x = np.asarray(self.win.x)
+        x = stats.x
         for s in slots:
             if s in newest2 or n_keep - len(flagged) <= cfg.window.min_kf:
                 continue
@@ -745,8 +824,8 @@ class FullSystem:
                 flagged.append(s)
         # rule 2: spatial-spread heuristic — drop the frame crowded among
         # the others but far from the newest
+        T = np.asarray(stats.poses, dtype=np.float64)
         while len(active) - len(flagged) > cfg.window.max_kf:
-            T = np.asarray(self.win.current_pose(), dtype=np.float64)
             centers = {s: -T[s, :3, :3].T @ T[s, :3, 3] for s in slots}
             best, best_score = None, -np.inf
             for s in slots:
@@ -764,43 +843,44 @@ class FullSystem:
         return flagged
 
     def _remove_and_marginalize_points(self, stats: solve.BAStats,
-                                       marg_slots: List[int]):
+                                       marg_slots: List[int]) -> int:
         """Points that lost their residuals or whose host dies: fold the
         well-constrained ones into the prior, drop the rest (reference:
-        flagPointsForRemoval + ef->marginalizePointsF/dropPointsF)."""
+        flagPointsForRemoval + ef->marginalizePointsF/dropPointsF).
+        Works entirely off the packed BA readback; returns # removed."""
         cfg = self.cfg
-        p_valid = np.asarray(self.win.p_valid)
-        p_host = np.asarray(self.win.p_host)
-        res_mask = np.asarray(self.win.res_mask)
+        p_valid = stats.p_valid
+        p_host = stats.p_host
+        res_mask = stats.res_mask
         res_rows = res_mask.sum(axis=1)
         dying_host = np.isin(p_host, marg_slots) & p_valid
         no_res = (res_rows == 0) & p_valid
         goners = dying_host | no_res
         if not goners.any():
-            return
+            return 0
         hdd = stats.idepth_hessian if stats.idepth_hessian is not None \
             else np.zeros(len(p_valid))
         # maxRelBaseline gate (reference: PointHessian::maxRelBaseline —
         # only points observed with enough relative baseline × idepth are
         # well-triangulated enough to fold into the prior; the rest drop)
-        T = np.asarray(self.win.current_pose(), dtype=np.float64)
+        T = np.asarray(stats.poses, dtype=np.float64)
         C = -np.einsum("fji,fj->fi", T[:, :3, :3], T[:, :3, 3])   # camera centers
         dist = np.linalg.norm(C[p_host][:, None, :] - C[None, :, :], axis=-1)
         rel_b = np.max(np.where(res_mask, dist, 0.0), axis=1) \
-            * np.asarray(self.win.p_idepth)
+            * stats.p_idepth
         marg_mask = goners & (hdd > cfg.ba.min_idepth_hessian) \
             & (rel_b > cfg.ba.min_rel_baseline)
-        drop_mask = goners & ~marg_mask
         if marg_mask.any():
             self.HM, self.bM = marginal.marginalize_points(
                 self.win, marg_mask, self.HM, self.bM, cfg)
         self.win = win_mod.drop_points(self.win, jnp.asarray(goners))
+        return int(goners.sum())
 
-    def _marginalize_frame(self, slot: int):
+    def _marginalize_frame(self, slot: int, stats: solve.BAStats):
         cfg = self.cfg
         kid = self.slot_kf[slot]
         kf = self.kfs[kid]
-        T = np.asarray(self.win.current_pose(), dtype=np.float64)
+        T = np.asarray(stats.poses, dtype=np.float64)
         others = sorted((self.slot_kf[s], s) for s in range(len(self.slot_kf))
                         if self.slot_kf[s] is not None and s != slot)
         with self.state_lock:
@@ -818,7 +898,7 @@ class FullSystem:
         # the diagonal prior pins ABSOLUTE a,b to zero (ba/solve.py
         # prior_offset): in delta coordinates its gradient at Δ=0 is
         # λ·x_zero — the fold convention bM := ∂E/∂Δ|_{Δ=0}
-        aff_delta = np.asarray(self.win.x_zero[slot], dtype=np.float64)
+        aff_delta = np.asarray(stats.x_zero[slot], dtype=np.float64)
         aff_delta[:6] = 0.0
         self.HM, self.bM = marginal.marginalize_frame(
             slot, self.HM, self.bM, frame_prior_diag=aff_prior,
@@ -840,54 +920,46 @@ class FullSystem:
             jnp.asarray(aff_ab, jnp.float32), jnp.float32(exposure),
             self.intr_j, self.cfg)
 
-    def _activate_points(self, new_kf: KeyframeRecord, bank: HostBank):
+    def _activate_points(self, new_kf: KeyframeRecord, bank: HostBank,
+                         snap: dict) -> int:
         """Promote good candidates to active points (reference:
-        activatePointsMT + optimizeImmaturePoint)."""
+        activatePointsMT + optimizeImmaturePoint). ONE device dispatch
+        optimizes every candidate's idepth regardless of host slot, one
+        batched pull reads the results, one dispatch scatters the chosen
+        points into the window. Returns the number activated."""
         cfg = self.cfg
-        p_valid = np.asarray(self.win.p_valid)
+        p_valid = snap["p_valid"]
         n_free = int((~p_valid).sum())
         n_want = int(cfg.selector.desired_point_density) - int(p_valid.sum())
         n_want = min(n_want, n_free)
         if n_want <= 0:
-            return
+            return 0
 
         can = (bank.valid & (bank.last_status == trace_mod.GOOD)
                & (bank.quality > cfg.trace.min_quality)
                & ~np.isnan(bank.idepth_max)
                & ((bank.idepth_max + bank.idepth_min) > 0))
         if not can.any():
-            return
+            return 0
 
-        activated_mask = np.zeros(bank.capacity, dtype=bool)
-        chosen_all: List[np.ndarray] = []
-        d_all: List[np.ndarray] = []
-        host_all: List[int] = []
-        for slot in {int(s) for s in np.unique(bank.host_slot[can])}:
-            sel = can & (bank.host_slot == slot)
-            if not sel.any():
-                continue
-            T_rel, alpha, beta = _relative_to_slots(self.win, slot)
-            d0 = 0.5 * (bank.idepth_min + bank.idepth_max)
-            d, Hd, E, cnt = trace_mod.optimize_idepth(
-                self.win.images, self.win.frame_valid, T_rel, alpha, beta,
-                jnp.asarray(bank.uv), jnp.asarray(bank.color),
-                jnp.asarray(np.clip(d0, 1e-3, 50.0)), jnp.asarray(sel),
-                self.intr_j, slot, iters=3, huber_th=cfg.ba.huber_th)
-            d, Hd, E, cnt = (np.asarray(d), np.asarray(Hd),
-                             np.asarray(E), np.asarray(cnt))
-            ok = sel & (Hd > cfg.ba.min_idepth_hessian) & (cnt >= 8) \
-                & (E < cfg.ba.outlier_th * np.maximum(cnt, 1))
-            idx = np.flatnonzero(ok)
-            if len(idx):
-                chosen_all.append(idx)
-                d_all.append(d[idx])
-                host_all.extend([slot] * len(idx))
-
-        if not chosen_all:
-            return
-        idx = np.concatenate(chosen_all)
-        d = np.concatenate(d_all)
-        hosts = np.asarray(host_all)
+        # READBACK 2: all-host idepth GN in one dispatch + one pull
+        d0 = np.clip(0.5 * (bank.idepth_min + bank.idepth_max), 1e-3, 50.0)
+        res = jax.device_get(trace_mod.optimize_idepth_bank(
+            self.win.images, self.win.frame_valid, self.win.current_pose(),
+            self.win.x, self.win.exposure,
+            jnp.asarray(bank.uv), jnp.asarray(bank.color),
+            jnp.asarray(d0), jnp.asarray(can),
+            jnp.asarray(bank.host_slot, jnp.int32),
+            self.intr_j, iters=3, huber_th=cfg.ba.huber_th))
+        d, Hd = np.asarray(res["idepth"]), np.asarray(res["H_dd"])
+        E, cnt = np.asarray(res["energy"]), np.asarray(res["count"])
+        ok = can & (Hd > cfg.ba.min_idepth_hessian) & (cnt >= 8) \
+            & (E < cfg.ba.outlier_th * np.maximum(cnt, 1))
+        idx = np.flatnonzero(ok)
+        if len(idx) == 0:
+            return 0
+        d = d[idx]
+        hosts = bank.host_slot[idx]
         # best quality first
         order = np.argsort(-bank.quality[idx])
         idx, d, hosts = idx[order], d[order], hosts[order]
@@ -911,46 +983,44 @@ class FullSystem:
         self._min_act_dist = mad = float(np.clip(mad, 0.0, 4.0))
         if mad >= 0.25 and len(idx):
             keep = self._spacing_gate(new_kf, bank.uv[idx], d, hosts,
-                                      2.0 * mad)
+                                      2.0 * mad, snap)
             idx, d, hosts = idx[keep], d[keep], hosts[keep]
         idx, d, hosts = idx[:n_want], d[:n_want], hosts[:n_want]
 
         P = self.win.num_points
         free = np.flatnonzero(~p_valid)
-        n_corner_act = 0
-        for slot in np.unique(hosts):
-            m = hosts == slot
-            k = min(int(m.sum()), len(free))
-            if k == 0:
-                continue
-            take = free[:k]
-            free = free[k:]
-            sel_idx = idx[m][:k]
-            uv_pad = _pad_rows(bank.uv[sel_idx].astype(np.float32), P)
-            color, weight = _sample_pattern(
-                self.win.images[int(slot)], jnp.asarray(uv_pad),
-                outlier_sum=float(cfg.ba.outlier_th_sum_component))
-            slots_pad = np.full(P, P, np.int32)
-            slots_pad[:k] = take
-            self.win = win_mod.add_points(
-                self.win, slots_pad, int(slot), uv_pad,
-                np.asarray(color), np.asarray(weight),
-                _pad_rows(d[m][:k].astype(np.float32), P, 1.0))
-            activated_mask[sel_idx] = True
-            n_corner_act += int(bank.is_corner[sel_idx].sum())
+        k = min(len(idx), len(free))
+        if k == 0:
+            return 0
+        idx, d, hosts = idx[:k], d[:k], hosts[:k]
+        slots_pad = np.full(P, P, np.int32)
+        slots_pad[:k] = free[:k]
+        self.win = win_mod.activate_points_device(
+            self.win, slots_pad,
+            _pad_rows(hosts.astype(np.int32), P),
+            _pad_rows(bank.uv[idx].astype(np.float32), P),
+            _pad_rows(d.astype(np.float32), P, 1.0),
+            outlier_sum=float(cfg.ba.outlier_th_sum_component))
+        activated_mask = np.zeros(bank.capacity, dtype=bool)
+        activated_mask[idx] = True
         self._last_act_stats = dict(
-            n_corner_act=n_corner_act, min_act_dist=self._min_act_dist)
+            n_corner_act=int(bank.is_corner[idx].sum()),
+            min_act_dist=self._min_act_dist)
         bank.drop(activated_mask)
+        return k
 
     def _spacing_gate(self, kf, cand_uv_host: np.ndarray, d0: np.ndarray,
-                      hosts: np.ndarray, min_px: float) -> np.ndarray:
+                      hosts: np.ndarray, min_px: float,
+                      snap: dict) -> np.ndarray:
         """Distance gate in the new KF's image (TPU-first redesign of the
         reference's BFS CoarseDistanceMap: with ≤2k points an explicit
-        candidate×point distance check is cheaper than building a map).
-        Candidates are quality-ordered; each accepted one occupies a cell
-        so candidates also repel each other."""
-        T = np.asarray(self.win.current_pose(), dtype=np.float64)
-        fx, fy, cx, cy = (float(v) for v in np.asarray(self.win.c))
+        occupancy-cell check is cheaper than building a map). Candidates
+        are quality-ordered; each accepted one occupies a cell so
+        candidates also repel each other — expressed as vectorized
+        first-occurrence-per-cell (identical to the sequential set walk
+        because earlier rows always win np.unique's first occurrence)."""
+        T = np.asarray(snap["T"], dtype=np.float64)
+        fx, fy, cx, cy = (float(v) for v in snap["c"])
         T_kf = T[kf.slot]
         T_inv = np.linalg.inv(T)
 
@@ -964,24 +1034,26 @@ class FullSystem:
             return np.stack([fx * X[:, 0] / z + cx, fy * X[:, 1] / z + cy],
                             axis=-1)
 
-        # occupancy grid from existing active points projected into the KF
         cell = max(min_px, 1.0)
-        occupied = set()
-        p_valid = np.asarray(self.win.p_valid)
-        if p_valid.any():
-            act_uv = proj_into_kf(np.asarray(self.win.p_uv)[p_valid],
-                                  np.asarray(self.win.p_idepth)[p_valid],
-                                  np.asarray(self.win.p_host)[p_valid])
-            for c in zip(*(act_uv // cell).astype(np.int64).T):
-                occupied.add(c)
 
-        cand_uv = proj_into_kf(cand_uv_host, d0, hosts)
-        cells = (cand_uv // cell).astype(np.int64)
-        keep = np.zeros(len(cand_uv), bool)
-        for i, c in enumerate(map(tuple, cells)):
-            if c not in occupied:
-                keep[i] = True
-                occupied.add(c)
+        def cell_keys(uv):
+            cells = np.floor(uv / cell).astype(np.int64)
+            return cells[:, 0] * (1 << 22) + cells[:, 1]
+
+        # occupancy from existing active points projected into the KF
+        p_valid = snap["p_valid"]
+        occ = np.zeros(0, np.int64)
+        if p_valid.any():
+            act_uv = proj_into_kf(snap["p_uv"][p_valid],
+                                  snap["p_idepth"][p_valid],
+                                  snap["p_host"][p_valid])
+            occ = cell_keys(act_uv)
+
+        keys = cell_keys(proj_into_kf(cand_uv_host, d0, hosts))
+        _, first = np.unique(keys, return_index=True)
+        keep = np.zeros(len(keys), bool)
+        keep[first] = True
+        keep &= ~np.isin(keys, occ)
         return keep
 
     def _cull_immatures(self, marg_slots: List[int], bank: HostBank):
@@ -1002,62 +1074,61 @@ class FullSystem:
 
     def _seed_immatures(self, slot: int, pyr, bank: HostBank):
         cfg = self.cfg
-        gsq1 = jnp.sum(pyr[1][..., 1:3] ** 2, axis=-1)
-        gsq2 = jnp.sum(pyr[2][..., 1:3] ** 2, axis=-1)
         n_want = min(int(cfg.selector.desired_immature_density),
                      int((~bank.valid).sum()))
         if n_want <= 0:
             return
+
+        gsq1 = jnp.sum(pyr[1][..., 1:3] ** 2, axis=-1)
+        gsq2 = jnp.sum(pyr[2][..., 1:3] ** 2, axis=-1)
+        # ONE dispatch + ONE packed readback for corners, gradient picks,
+        # and both pools' pattern colors/weights
+        seed = jax.device_get(_seed_program(
+            pyr[0], gsq1, gsq2, cfg,
+            seed=int(cfg.seed + (self.frame_count & 3))))
 
         # corner-biased seeds (LDSO's signature frontend change:
         # FeatureDetector corners become first-class candidates so
         # loop-closure features inherit point depths — reference:
         # FeatureDetector.cc + makeNewTraces, FullSystem.cc:~L760)
         corner_uv = np.zeros((0, 2), np.float32)
+        c_idx = np.zeros(0, np.int64)
         if cfg.selector.corner_fraction > 0:
-            from ldso_tpu.loop import orb
-
-            feats = orb.detect(pyr[0], max_features=cfg.loop.max_features,
-                               fast_th=cfg.loop.orb_fast_th)
             # true FAST hits only (detect() marks them with a +1e3 score
             # offset; its Shi-Tomasi fallback scores are matcher-grade,
             # not candidate-grade)
-            fv = np.asarray(feats.valid) & (np.asarray(feats.score) > 1e3)
-            corner_uv = np.asarray(feats.uv)[fv]
+            fv = seed["corner_valid"] & (seed["corner_score"] > 1e3)
             n_c = int(n_want * cfg.selector.corner_fraction)
-            corner_uv = corner_uv[:n_c]        # detect() is score-sorted
+            c_idx = np.flatnonzero(fv)[:n_c]   # detect() is score-sorted
+            corner_uv = seed["corner_uv"][c_idx]
 
-        # gradient picks fill the density (num_want is a static trace
-        # capacity — ALWAYS the full density so no per-KF recompiles;
-        # the host takes only what fits)
-        uv, scores, valid = select.select_pixels(
-            pyr[0], gsq1, gsq2,
-            num_want=int(cfg.selector.desired_immature_density),
-            block=cfg.selector.block, pot=5,
-            min_cut=cfg.selector.min_grad_hist_cut,
-            min_add=cfg.selector.min_grad_hist_add,
-            down_weight=cfg.selector.grad_down_weight_per_level,
-            seed=cfg.seed + (self.frame_count & 3))
-        uv = np.asarray(uv)[np.asarray(valid)]
+        s_idx = np.flatnonzero(seed["sel_valid"])
+        uv = seed["sel_uv"][s_idx]
         if len(corner_uv) and len(uv):
             # drop gradient picks that duplicate a corner seed
             d2 = ((uv[:, None, :] - corner_uv[None, :, :]) ** 2).sum(-1)
-            uv = uv[d2.min(axis=1) > 4.0]
+            keep = d2.min(axis=1) > 4.0
+            s_idx, uv = s_idx[keep], uv[keep]
         uv_all = np.concatenate([corner_uv, uv.astype(np.float32)])[:n_want]
+        color_all = np.concatenate([seed["corner_color"][c_idx],
+                                    seed["sel_color"][s_idx]]
+                                   if len(c_idx)
+                                   else [seed["sel_color"][s_idx]])[:n_want]
+        weight_all = np.concatenate([seed["corner_weight"][c_idx],
+                                     seed["sel_weight"][s_idx]]
+                                    if len(c_idx)
+                                    else [seed["sel_weight"][s_idx]])[:n_want]
         is_corner = np.zeros(len(uv_all), bool)
         is_corner[: len(corner_uv)] = True
         if len(uv_all) == 0:
             return
-        color, weight = _sample_pattern(
-            pyr[0], jnp.asarray(uv_all),
-            outlier_sum=float(cfg.ba.outlier_th_sum_component))
         slots = bank.free_slots(len(uv_all))
         k = len(slots)
         bank.valid[slots] = True
         bank.host_slot[slots] = slot
         bank.uv[slots] = uv_all[:k]
-        bank.color[slots] = np.asarray(color)[:k]
-        bank.weight[slots] = np.asarray(weight)[:k]
+        bank.color[slots] = color_all[:k]
+        bank.weight[slots] = weight_all[:k]
         bank.idepth_min[slots] = 0.0
         bank.idepth_max[slots] = np.nan
         bank.quality[slots] = 0.0
@@ -1069,13 +1140,19 @@ class FullSystem:
     # Tracker reference (reference: setCoarseTrackingRef + makeCoarseDepthL0)
     # ------------------------------------------------------------------
 
-    def _update_tracker_ref(self, kf: KeyframeRecord):
+    def _update_tracker_ref(self, kf: KeyframeRecord,
+                            stats: Optional[solve.BAStats] = None):
         uv, idep, color, valid = _project_points_to_slot(
             self.win, jnp.asarray(kf.slot))
+        if stats is not None:       # KF path: values ride the BA readback
+            expo = float(stats.exposure[kf.slot])
+            aff = (float(stats.x[kf.slot, 6]), float(stats.x[kf.slot, 7]))
+        else:                       # init/sync path: one-off readbacks
+            expo = float(self.win.exposure[kf.slot])
+            aff = self._kf_affine(kf)
         new_ref = tracker.make_tracker_ref(
             uv, idep, color, valid, self.cfg.shapes.pyr_levels,
-            exposure=float(self.win.exposure[kf.slot]),
-            aff_ab=self._kf_affine(kf))
+            exposure=expo, aff_ab=aff)
         # atomic swap of the ref bundle (async: mapping thread writes,
         # tracking thread reads — reference: setCoarseTrackingRef mutex)
         with self.state_lock:

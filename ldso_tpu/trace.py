@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ldso_tpu.core.window import PATTERN_OFFSETS
 from ldso_tpu.kernels.interp import (bilinear33, bilinear_packed, in_bounds,
                                      pack_corners)
+from ldso_tpu.math import lie
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -263,3 +264,83 @@ def optimize_idepth(
         d = jnp.clip(d + step, 1e-5, 50.0)
     Hd, bd, E, cnt = system(d)
     return d, Hd, E, cnt
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def optimize_idepth_bank(
+    win_images,              # [F, H, W, 3]
+    frame_valid,             # [F] bool
+    T_all,                   # [F, 4, 4] current worldToCam of every slot
+    x_affine,                # [F, 8] window states (affine dims used)
+    exposure_all,            # [F]
+    uv,                      # [N, 2] candidate pixels (in their host frame)
+    color,                   # [N, 8]
+    idepth0,                 # [N]
+    valid,                   # [N]
+    host_slot,               # [N] i32 per-candidate host window slot
+    intr,                    # [4]
+    iters: int = 3,
+    huber_th: float = 9.0,
+):
+    """Per-point-host variant of :func:`optimize_idepth`: ONE dispatch
+    covers candidates from EVERY host slot (the per-slot host loop paid
+    one device round trip per slot on the latency-bound tunnel —
+    reference: FullSystem::activatePointsMT runs all hosts in one
+    parallel-for too). Relative transforms and affine transfer are
+    gathered per point from the window state on device."""
+    F = win_images.shape[0]
+    h, w = win_images.shape[1], win_images.shape[2]
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    pat = jnp.asarray(PATTERN_OFFSETS)
+    uvp = uv[:, None, :] + pat[None]                               # [N, 8, 2]
+    xh = jnp.stack([(uvp[..., 0] - cx) / fx, (uvp[..., 1] - cy) / fy,
+                    jnp.ones_like(uvp[..., 0])], axis=-1)          # [N, 8, 3]
+
+    T_inv_h = lie.se3_inverse(T_all)[host_slot]                    # [N, 4, 4]
+    ea = exposure_all * jnp.exp(x_affine[:, 6])                    # [F]
+    ea_h = ea[host_slot]                                           # [N]
+    b_h = x_affine[host_slot, 7]
+
+    def system(d):
+        Hd = jnp.zeros_like(d)
+        bd = jnp.zeros_like(d)
+        E = jnp.zeros_like(d)
+        cnt = jnp.zeros_like(d)
+        for f in range(F):
+            T_rel = jnp.einsum("ij,pjk->pik", T_all[f], T_inv_h,
+                               precision=_HI)                      # [N, 4, 4]
+            R, t = T_rel[:, :3, :3], T_rel[:, :3, 3]
+            alpha = ea[f] / jnp.maximum(ea_h, 1e-12)               # [N]
+            beta = x_affine[f, 7] - alpha * b_h
+            ok_f = frame_valid[f] & (host_slot != f) & valid
+            X = jnp.einsum("pij,pkj->pki", R, xh, precision=_HI) \
+                + t[:, None, :] * d[:, None, None]
+            z = X[..., 2]
+            okz = z > 1e-6
+            zs = jnp.where(okz, z, 1.0)
+            up, vp = X[..., 0] / zs, X[..., 1] / zs
+            uvn = jnp.stack([fx * up + cx, fy * vp + cy], axis=-1)
+            inb = in_bounds(uvn, w, h, 2.0) & okz & ok_f[:, None]
+            hit = bilinear33(win_images[f], uvn)
+            r = hit[..., 0] - alpha[:, None] * color - beta[:, None]
+            dre = 1.0 / zs
+            Jd_u = fx * dre * (t[:, 0:1] - t[:, 2:3] * up)
+            Jd_v = fy * dre * (t[:, 1:2] - t[:, 2:3] * vp)
+            Jd = hit[..., 1] * Jd_u + hit[..., 2] * Jd_v
+            abs_r = jnp.abs(r)
+            hw = jnp.where(abs_r < huber_th, 1.0,
+                           huber_th / jnp.maximum(abs_r, 1e-12))
+            om = jnp.where(inb, hw, 0.0)
+            Hd += jnp.sum(om * Jd * Jd, axis=-1)
+            bd += jnp.sum(om * Jd * r, axis=-1)
+            E += jnp.sum(om * r * r * (2.0 - hw), axis=-1)
+            cnt += jnp.sum(inb, axis=-1)
+        return Hd, bd, E, cnt
+
+    d = idepth0
+    for _ in range(iters):
+        Hd, bd, E, cnt = system(d)
+        step = -bd / (Hd + 1e-6)
+        d = jnp.clip(d + step, 1e-5, 50.0)
+    Hd, bd, E, cnt = system(d)
+    return dict(idepth=d, H_dd=Hd, energy=E, count=cnt)
