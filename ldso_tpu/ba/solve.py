@@ -198,22 +198,30 @@ def _prior_diag_traced(frame_valid, cfg: LdsoConfig):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "anchor_slot"))
 def _ba_loop_device(win: Window, HM, bM, cfg: LdsoConfig, anchor_slot: int):
-    """The ENTIRE force-accept GN loop as ONE device program.
+    """The ENTIRE energy-gated GN/LM loop as ONE device program.
 
     Semantically identical to the host loop in :func:`run_ba` with
-    ``force_accept=True`` (the reference default,
-    setting_forceAceptStep): fixed small λ, steps applied
-    unconditionally, early stop once the increment is small — but
+    ``force_accept=False`` — λ-damped steps ACCEPTED only when the
+    total energy drops, λ·0.25 on success / λ·4 on rejection, early
+    stop on a small accepted increment (reference:
+    FullSystem::optimize's energy-based accept + lambda control) — but
     instead of ~4 dispatches + 3 host readbacks per iteration this is a
     single dispatch with a single packed readback, which is what the
-    latency-bound remote-TPU path needs (SURVEY §7.2 risk 5). The
-    early-stop is a freeze: iterations after convergence are no-ops on a
-    fixed iteration budget (static shapes; XLA-friendly control flow).
+    latency-bound remote-TPU path needs (SURVEY §7.2 risk 5).
+
+    The accepted state AND its linearized system ride the scan carry,
+    so an accepted iteration costs exactly one `assemble` (at the new
+    state) and a rejected one costs one (re-used linearization point,
+    larger λ) — the same evaluation count as the reference. Round-3
+    regression note: the round-2 formulation force-accepted every step
+    and measurably under-converged at the same iteration budget
+    (ATE 7.9% → 3.8% on the 30-frame probe, scripts/ate_probe.py).
+    The early-stop is a freeze: iterations after convergence are no-ops
+    on a fixed budget (static shapes; XLA-friendly control flow).
     """
     F = win.num_frames
     huber = cfg.ba.huber_th
     osum = cfg.ba.outlier_th_sum_component
-    lam = jnp.float32(cfg.ba.lambda_initial)
 
     # loop-invariant solver inputs (FEJ quantities never move in-loop)
     prior_d = _prior_diag_traced(win.frame_valid, cfg)
@@ -233,34 +241,41 @@ def _ba_loop_device(win: Window, HM, bM, cfg: LdsoConfig, anchor_slot: int):
                 + 0.5 * jnp.sum(prior_d * da * da))
 
     def body(carry, it):
-        x, c, pid, done, n_steps, E0 = carry
+        x, c, pid, sys, E_acc, lam, done, n_steps = carry
         w = win._replace(x=x, c=c, p_idepth=pid)
-        sys = assemble(w, huber_th=huber, outlier_sum=osum)
-        E_here = total_energy(sys.energy, w)
-        E0 = jnp.where(it == 0, E_here, E0)
+        # trial step from the ACCEPTED state's linearization
         dx, dd = _solve_core(
             sys.H, sys.b, sys.H_xd, sys.H_dd, sys.b_d,
             HM, bM, state_delta(w), prior_d, s_vec, fixed,
             N_scale, lam, win.p_valid, prior_off=p_off)
-        w2 = apply_step(w, dx, cfg.scales.idepth * dd)
+        w_try = apply_step(w, dx, cfg.scales.idepth * dd)
+        sys_try = assemble(w_try, huber_th=huber, outlier_sum=osum)
+        E_try = total_energy(sys_try.energy, w_try)
         step = jnp.max(jnp.abs(dx))
-        upd = ~done
-        x = jnp.where(upd, w2.x, x)
-        c = jnp.where(upd, w2.c, c)
-        pid = jnp.where(upd, w2.p_idepth, pid)
-        n_steps = n_steps + jnp.where(upd, 1, 0)
-        done = done | ((step < cfg.ba.step_break_th)
-                       & (it + 1 >= cfg.ba.min_iterations))
-        return (x, c, pid, done, n_steps, E0), None
 
-    init = (win.x, win.c, win.p_idepth,
-            jnp.asarray(False), jnp.int32(0), jnp.float32(0.0))
-    (x, c, pid, _, n_steps, E0), _ = jax.lax.scan(
+        ok = ~done & jnp.isfinite(E_try) & (E_try < E_acc)
+        x = jnp.where(ok, w_try.x, x)
+        c = jnp.where(ok, w_try.c, c)
+        pid = jnp.where(ok, w_try.p_idepth, pid)
+        sys = jax.tree.map(lambda a, b_: jnp.where(ok, b_, a), sys, sys_try)
+        E_acc = jnp.where(ok, E_try, E_acc)
+        lam = jnp.where(done, lam,
+                        jnp.where(ok, jnp.maximum(lam * 0.25, 1e-7),
+                                  lam * 4.0)).astype(jnp.float32)
+        n_steps = n_steps + jnp.where(ok, 1, 0)
+        done = done | (ok & (step < cfg.ba.step_break_th)
+                       & (it + 1 >= cfg.ba.min_iterations)) | (lam > 1e2)
+        return (x, c, pid, sys, E_acc, lam, done, n_steps), None
+
+    sys0 = assemble(win, huber_th=huber, outlier_sum=osum)
+    E0 = total_energy(sys0.energy, win)
+    init = (win.x, win.c, win.p_idepth, sys0, E0,
+            jnp.float32(cfg.ba.lambda_initial), jnp.asarray(False),
+            jnp.int32(0))
+    (x, c, pid, sys, E, _, _, n_steps), _ = jax.lax.scan(
         body, init, jnp.arange(cfg.ba.max_iterations))
 
     win = win._replace(x=x, c=c, p_idepth=pid)
-    sys = assemble(win, huber_th=huber, outlier_sum=osum)
-    E = total_energy(sys.energy, win)
 
     # final residual-activity refresh (reference: removeOutliers tail)
     outlier_pair = sys.e_pair > (cfg.ba.outlier_th * 8.0)
@@ -275,7 +290,10 @@ def _ba_loop_device(win: Window, HM, bM, cfg: LdsoConfig, anchor_slot: int):
                 T=lie.se3_mul(lie.se3_exp(x[:, :6]), win.T_eval),
                 x=x, x_zero=win.x_zero, exposure=win.exposure,
                 p_valid=win.p_valid, p_host=win.p_host,
-                p_idepth=pid, res_mask=win.res_mask)
+                p_idepth=pid, res_mask=win.res_mask,
+                # global-map snapshot inputs (reference: the exposed
+                # Point layer persists past marginalization, src/Map.cc)
+                p_uv=win.p_uv, p_color=win.p_color[:, 4], c=c)
     return win, diag
 
 
@@ -301,6 +319,9 @@ class BAStats(NamedTuple):
     p_host: object = None             # np i32 [P]
     p_idepth: object = None           # np [P]
     res_mask: object = None           # np bool [P, F]
+    p_uv: object = None               # np [P, 2] host-frame pixel coords
+    p_color: object = None            # np [P] center-pattern intensity
+    c: object = None                  # np [4] post-BA intrinsics
 
 
 def run_ba(
@@ -340,6 +361,9 @@ def run_ba(
             p_host=np.asarray(d["p_host"]),
             p_idepth=np.asarray(d["p_idepth"]),
             res_mask=np.asarray(d["res_mask"]),
+            p_uv=np.asarray(d["p_uv"]),
+            p_color=np.asarray(d["p_color"]),
+            c=np.asarray(d["c"]),
         )
         return win2, stats
 
@@ -426,5 +450,8 @@ def run_ba(
         p_host=np.asarray(win.p_host),
         p_idepth=np.asarray(win.p_idepth),
         res_mask=np.asarray(win.res_mask),
+        p_uv=np.asarray(win.p_uv),
+        p_color=np.asarray(win.p_color)[:, 4],
+        c=np.asarray(win.c),
     )
     return win, stats

@@ -54,6 +54,13 @@ def save_checkpoint(system, path: str) -> None:
              for e in system.pose_edges]
     for i, e in enumerate(system.pose_edges):
         arrays[f"edge_T_{i}"] = e.T_ab
+    # persistent global map + PGO-optimized Sim3 poses
+    for k, d in system.map_points.items():
+        arrays[f"map_xyz_{k}"] = d["xyz_cam"]
+        arrays[f"map_col_{k}"] = d["color"]
+    for k, v in system.kfs.items():
+        if v.S_cw_opti is not None:
+            arrays[f"kf_S_{k}"] = v.S_cw_opti
 
     meta = dict(
         kfs=kfs, frames=frames, edges=edges,
@@ -98,7 +105,13 @@ def load_checkpoint(path: str, cfg) -> "FullSystem":
     for k, v in meta["kfs"].items():
         system.kfs[int(k)] = KeyframeRecord(
             kf_id=v["kf_id"], frame_id=v["frame_id"], timestamp=v["timestamp"],
-            T_cw=data[f"kf_T_{k}"], slot=v["slot"], in_window=v["in_window"])
+            T_cw=data[f"kf_T_{k}"], slot=v["slot"], in_window=v["in_window"],
+            S_cw_opti=data[f"kf_S_{k}"] if f"kf_S_{k}" in data else None)
+    system.map_points = {
+        int(k[len("map_xyz_"):]): dict(xyz_cam=data[k],
+                                       color=data["map_col_"
+                                                  + k[len("map_xyz_"):]])
+        for k in data.files if k.startswith("map_xyz_")}
     system.frames = [
         FrameRecord(f["frame_id"], f["timestamp"], f["ref_kf"],
                     data[f"fr_T_{i}"], f["is_kf"])

@@ -377,22 +377,39 @@ class EurocDataset(_FilePrefetchMixin, _BaseReader):
 
     @staticmethod
     def _parse_sensor_yaml(path: str):
-        intr = [458.654, 457.296, 367.215, 248.375]   # EuRoC cam0 defaults
-        dist = [-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05]
-        size = (752, 480)
-        if os.path.isfile(path):
-            import re
+        """Strict sensor.yaml parse. A missing file falls back to the
+        standard EuRoC cam0 calibration (all public sequences share it);
+        a PRESENT file that fails to parse raises — silently tracking
+        with wrong intrinsics corrupts every downstream estimate
+        (round-2 finding: regex-with-baked-defaults)."""
+        if not os.path.isfile(path):
+            return ([458.654, 457.296, 367.215, 248.375],
+                    [-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05],
+                    (752, 480))
+        import re
 
-            text = open(path).read()
-            m = re.search(r"intrinsics:\s*\[([^\]]+)\]", text)
-            if m:
-                intr = [float(x) for x in m.group(1).split(",")]
-            m = re.search(r"distortion_coefficients:\s*\[([^\]]+)\]", text)
-            if m:
-                dist = [float(x) for x in m.group(1).split(",")]
-            m = re.search(r"resolution:\s*\[([^\]]+)\]", text)
-            if m:
-                size = tuple(int(x) for x in m.group(1).split(","))
+        text = open(path).read()
+
+        def field(name, n, cast):
+            m = re.search(name + r":\s*\[([^\]]+)\]", text)
+            if not m:
+                raise ValueError(
+                    f"{path}: required field '{name}' not found — refusing "
+                    f"to fall back to baked-in EuRoC defaults")
+            vals = [cast(x) for x in m.group(1).split(",")]
+            if len(vals) != n:
+                raise ValueError(f"{path}: '{name}' has {len(vals)} values, "
+                                 f"expected {n}")
+            return vals
+
+        model = re.search(r"distortion_model:\s*(\S+)", text)
+        if model and model.group(1).strip() not in ("radtan",
+                                                    "radial-tangential"):
+            raise ValueError(f"{path}: unsupported distortion model "
+                             f"{model.group(1)!r} (expected radtan)")
+        intr = field("intrinsics", 4, float)
+        dist = field("distortion_coefficients", 4, float)
+        size = tuple(field("resolution", 2, int))
         return intr, dist, size
 
     @property

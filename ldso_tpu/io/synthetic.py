@@ -208,6 +208,15 @@ def trajectory(n: int, kind: str = "forward_arc", step: float = 0.06) -> np.ndar
             z = i * step if i < half else (2 * half - 1 - i) * step
             t = np.array([0.15 * np.sin(0.2 * z * np.pi), 0.0, z])
             R = np.eye(3)
+        elif kind == "multi_pass":
+            # triangle-wave z: out, back, out again — the corridor is
+            # revisited TWICE, so a correct loop detector fires at two
+            # separate revisit events (multi-loop precision/recall tests)
+            period = max(n // 4, 1)
+            phase = i % (2 * period)
+            z = (phase if phase < period else 2 * period - phase) * step
+            t = np.array([0.15 * np.sin(0.2 * z * np.pi), 0.0, z])
+            R = np.eye(3)
         else:
             raise ValueError(kind)
         T = np.eye(4)

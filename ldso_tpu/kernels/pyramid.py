@@ -76,17 +76,19 @@ def build_pyramid(img, levels: int, use_pallas: bool | None = None):
       pyramid: list of [H_l, W_l, 3] (I, dx, dy) stacks, finest first
       grad_sq: list of [H_l, W_l] squared gradient magnitude (absSquaredGrad)
 
-    With ``LDSO_PALLAS_PYRAMID=1`` (TPU only) the fused Pallas stencil
-    kernel is used (kernels/pallas_pyramid.py — one HBM read per input
-    pixel, all four per-level outputs in one pass); the default is the
-    fused-XLA build, which benchmarks equal-or-faster at 640x480 frame
-    sizes once XLA fuses the level programs (scripts/bench_pyramid.py
-    measures both on hardware). Both paths are numerically equivalent
+    On TPU the fused Pallas stencil kernel is the default
+    (kernels/pallas_pyramid.py — one HBM read per input pixel, all four
+    per-level outputs in one pass): 0.047 ms vs 0.226 ms for the
+    fused-XLA build at 640x480 on v5e (scripts/bench_kernels.py
+    pyramid_pallas/pyramid_xla, round-3 roofline run — 20% vs 4% of the
+    HBM-IO roofline). ``LDSO_PALLAS_PYRAMID=0`` forces the portable XLA
+    path. Both are numerically equivalent
     (tests/test_frontend.py pallas equivalence).
     """
     if use_pallas is None:
+        env = os.environ.get("LDSO_PALLAS_PYRAMID")
         use_pallas = (jax.default_backend() == "tpu"
-                      and bool(os.environ.get("LDSO_PALLAS_PYRAMID")))
+                      and (env is None or env not in ("0", "off", "false")))
     if use_pallas:
         from ldso_tpu.kernels.pallas_pyramid import build_pyramid_pallas
 

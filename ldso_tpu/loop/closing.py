@@ -85,7 +85,12 @@ class LoopClosing:
             bow.KeyframeDatabase(vocab) if vocab is not None else None)
         self.snapshots: dict[int, KFSnapshot] = {}
         self.loops_closed: List[tuple] = []    # (kf_cur, kf_cand, S_cur_cand)
-        self._consistency: List[int] = []      # recent candidate ids
+        # consistency groups (reference: DetectLoop's mvConsistentGroups
+        # pattern — each surviving candidate carries the length of the
+        # chain of RECENT KFs that proposed overlapping loop regions)
+        self._consistent_groups: List[tuple] = []   # (frozenset[kf_id], count)
+        self.rejected: List[dict] = []         # gate decisions (diagnostics)
+        self._trained_on = 0                   # descriptor count at last train
         self._key = jax.random.PRNGKey(cfg.seed)
 
     # ------------------------------------------------------------------
@@ -158,21 +163,43 @@ class LoopClosing:
         snap = KFSnapshot(kf.kf_id, feats, None, X, ok)
         self.snapshots[kf.kf_id] = snap
 
-        # lazily train the vocabulary once enough descriptors exist
+        # lazily train the vocabulary once enough descriptors exist, and
+        # RETRAIN at a larger tree size as the corpus grows (reference:
+        # the 10⁶-leaf pre-trained orbvoc.dbow3 — offline here, so the
+        # tree is grown incrementally: 8³ → 10³ → 10⁴ leaves; every
+        # retrain re-encodes all snapshots and rebuilds the database)
         if self.vocab is None:
             if len(self.snapshots) >= self.train_after:
                 self._train_vocab()
             return None
+        n_desc = sum(int(np.asarray(s.feats.valid).sum())
+                     for s in self.snapshots.values())
+        if n_desc >= 4 * max(self._trained_on, 1) \
+                and self._vocab_shape(n_desc) != (self.vocab.k,
+                                                  self.vocab.levels):
+            self._train_vocab()
 
         snap.bow_vec = np.asarray(
             bow.bow_vector(self.vocab, feats.desc, feats.valid))
         result = self._detect_and_close(system, kf, snap)
         self.db.add(kf.kf_id, snap.bow_vec)
+        if result is not None and not result.get("accepted", False):
+            self.rejected.append(result)
         return result
 
     def _points_in_kf(self, win, slot):
         from ldso_tpu.system import _project_points_to_slot
         return _project_points_to_slot(win, jnp.asarray(slot))
+
+    @staticmethod
+    def _vocab_shape(n_desc: int):
+        """(k, levels) ladder by corpus size — larger corpora earn finer
+        trees (reference vocabulary: k=10, L=5/6 trained on millions)."""
+        if n_desc >= 30_000:
+            return 10, 4            # 10⁴ leaves
+        if n_desc >= 5_000:
+            return 10, 3            # 10³ leaves
+        return 8, 3                 # 512 leaves (small-corpus bootstrap)
 
     def _train_vocab(self):
         descs, valids = [], []
@@ -180,8 +207,10 @@ class LoopClosing:
             descs.append(np.asarray(s.feats.desc))
             valids.append(np.asarray(s.feats.valid))
         d = np.concatenate(descs)[np.concatenate(valids)]
-        self.vocab = bow.train_vocabulary(d, k=8, levels=3,
+        k, levels = self._vocab_shape(len(d))
+        self.vocab = bow.train_vocabulary(d, k=k, levels=levels,
                                           seed=self.cfg.seed)
+        self._trained_on = len(d)
         self.db = bow.KeyframeDatabase(self.vocab)
         # backfill signatures for the snapshots collected so far
         for s in sorted(self.snapshots.values(), key=lambda x: x.kf_id):
@@ -200,26 +229,49 @@ class LoopClosing:
             snap.bow_vec, exclude_above=kf.kf_id - cfg.loop.min_kf_gap)
         if len(ids) == 0:
             return None
-        # neighbor min-score gate: score of the previous KF is the floor
-        prev = self.snapshots.get(kf.kf_id - 1)
+        # covisible-group score floor (reference: DetectLoop computes
+        # minScore as the MINIMUM BoW similarity between the current KF
+        # and its covisible neighbors — here the odometry window — and
+        # only candidates scoring above it survive; the round-2
+        # prev-KF-only floor collapsed under viewpoint change)
+        neigh_vecs = []
+        if system is not None:
+            with system.state_lock:
+                win_ids = [k for k in system.slot_kf
+                           if k is not None and k != kf.kf_id]
+            neigh_vecs = [self.snapshots[k].bow_vec for k in win_ids
+                          if k in self.snapshots
+                          and self.snapshots[k].bow_vec is not None]
+        if not neigh_vecs:
+            prev = self.snapshots.get(kf.kf_id - 1)
+            if prev is not None and prev.bow_vec is not None:
+                neigh_vecs = [prev.bow_vec]
         ref_score = 0.1
-        if prev is not None and prev.bow_vec is not None:
-            ref_score = float(bow.l1_score(jnp.asarray(snap.bow_vec),
-                                           jnp.asarray(prev.bow_vec)))
+        if neigh_vecs:
+            sc = np.asarray(bow.l1_score(jnp.asarray(snap.bow_vec),
+                                         jnp.asarray(np.stack(neigh_vecs))))
+            ref_score = float(sc.min())
         th = max(0.05, cfg.loop.min_score_rel * ref_score)
         best = int(np.argmax(scores))
         if scores[best] < th:
-            self._consistency.clear()
+            self._consistent_groups = []
             return None
         cand_id = int(ids[best])
-        # temporal consistency: several successive KFs must agree on the
-        # same loop region (reference: consistency groups)
-        self._consistency.append(cand_id)
-        self._consistency = self._consistency[-cfg.loop.consistency_window:]
-        if len(self._consistency) < cfg.loop.consistency_window or \
-                max(self._consistency) - min(self._consistency) > 10:
+        # consistency groups (reference: DetectLoop's consistency-group
+        # chains): the candidate's neighborhood (temporally adjacent KF
+        # ids — the proxy for its covisible group) must overlap a group
+        # proposed by the PREVIOUS keyframe, `consistency_window` times
+        # in a row, before geometry is even attempted
+        cand_group = frozenset(
+            c for c in range(cand_id - 3, cand_id + 4) if c in self.snapshots)
+        chain = 1
+        for grp, cnt in self._consistent_groups:
+            if cand_group & grp:
+                chain = max(chain, cnt + 1)
+        self._consistent_groups = [(cand_group, chain)]
+        if chain < cfg.loop.consistency_window:
             return dict(candidate=cand_id, score=float(scores[best]),
-                        accepted=False, reason="consistency")
+                        accepted=False, reason="consistency", chain=chain)
 
         return self._geometric_check(system, kf, snap, cand_id,
                                      float(scores[best]))
@@ -288,7 +340,7 @@ class LoopClosing:
                 kf.kf_id, cand_id, S_cur_cand, kind="loop",
                 scale=float(lie.sim3_scale(jnp.asarray(S_cur_cand)))))
         self.loops_closed.append((kf.kf_id, cand_id, S_cur_cand))
-        self._consistency.clear()
+        self._consistent_groups = []
 
         self.run_pose_graph(system)
         return dict(candidate=cand_id, score=score, accepted=True,

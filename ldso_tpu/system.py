@@ -229,6 +229,14 @@ class FullSystem:
         self.kfs: dict[int, KeyframeRecord] = {}
         self.frames: List[FrameRecord] = []
         self.pose_edges: List[PoseEdge] = []
+        # persistent global map (reference: the exposed Frame/Point layer
+        # in src/Map.cc survives marginalization and its world positions
+        # are refreshed after every pose-graph run). Points are archived
+        # in HOST-CAMERA coordinates per kf_id at removal time; world
+        # positions are derived on demand through the KF's latest
+        # S_cw_opti/T_cw, so a PGO write-back corrects the whole map
+        # with zero extra work. kf_id -> dict(xyz_cam [n,3], color [n]).
+        self.map_points: dict[int, dict] = {}
         self.bank = bank_mod.empty_bank(cfg.shapes.max_immature)
 
         self.initializer = CoarseInitializer(cfg, self.intr)
@@ -870,11 +878,81 @@ class FullSystem:
             * stats.p_idepth
         marg_mask = goners & (hdd > cfg.ba.min_idepth_hessian) \
             & (rel_b > cfg.ba.min_rel_baseline)
+        # archive well-constrained dying points into the persistent map
+        # before they leave the window (reference: src/Map.cc keeps the
+        # exposed Point layer alive past marginalization)
+        self._archive_map_points(stats, goners & (hdd > cfg.ba.min_idepth_hessian))
         if marg_mask.any():
             self.HM, self.bM = marginal.marginalize_points(
                 self.win, marg_mask, self.HM, self.bM, cfg)
         self.win = win_mod.drop_points(self.win, jnp.asarray(goners))
         return int(goners.sum())
+
+    def _archive_map_points(self, stats: solve.BAStats, mask: np.ndarray):
+        """Snapshot dying points into the persistent global map, in
+        host-camera coordinates grouped by host kf_id. Uses only the
+        packed BA readback — zero extra device traffic."""
+        if not mask.any() or stats.p_uv is None:
+            return
+        uv = stats.p_uv[mask]
+        idep = np.maximum(stats.p_idepth[mask], 1e-6)
+        color = stats.p_color[mask] if stats.p_color is not None \
+            else np.full(mask.sum(), 200.0)
+        hosts = stats.p_host[mask]
+        fx, fy, cx, cy = (float(v) for v in stats.c)
+        z = 1.0 / idep
+        xyz = np.stack([(uv[:, 0] - cx) / fx * z,
+                        (uv[:, 1] - cy) / fy * z, z], axis=-1)
+        with self.state_lock:
+            for s in np.unique(hosts):
+                kid = self.slot_kf[s]
+                if kid is None:
+                    continue
+                m = hosts == s
+                prev = self.map_points.get(kid)
+                if prev is None:
+                    self.map_points[kid] = dict(xyz_cam=xyz[m],
+                                                color=color[m])
+                else:
+                    prev["xyz_cam"] = np.concatenate(
+                        [prev["xyz_cam"], xyz[m]])
+                    prev["color"] = np.concatenate([prev["color"], color[m]])
+
+    def global_map_points(self, include_window: bool = True):
+        """World point cloud of the persistent map (+ optionally the live
+        window), composed through each KF's latest pose-graph-optimized
+        Sim3 (reference: Map.cc::OptimizeALLKFs refreshes every Point's
+        world position; here positions are derived lazily so they are
+        ALWAYS current). Returns (xyz [N,3], intensity [N])."""
+        xyz_out, col_out = [], []
+        with self.state_lock:
+            arch = [(kid, d["xyz_cam"].copy(), d["color"].copy(),
+                     self.kfs[kid].S_cw_opti if self.kfs[kid].S_cw_opti
+                     is not None else self.kfs[kid].T_cw)
+                    for kid, d in self.map_points.items() if kid in self.kfs]
+        for _, xc, col, S_cw in arch:
+            S_wc = np.linalg.inv(np.asarray(S_cw, np.float64))
+            xyz_out.append(xc @ S_wc[:3, :3].T + S_wc[:3, 3])
+            col_out.append(col)
+        if include_window:
+            win = self.win
+            snap = jax.device_get(dict(
+                T=win.current_pose(), v=win.p_valid, uv=win.p_uv,
+                d=win.p_idepth, host=win.p_host, col=win.p_color[:, 4],
+                c=win.c))
+            idx = np.flatnonzero(snap["v"])
+            if len(idx):
+                fx, fy, cx, cy = (float(v) for v in snap["c"])
+                z = 1.0 / np.maximum(snap["d"][idx], 1e-6)
+                Xc = np.stack([(snap["uv"][idx, 0] - cx) / fx * z,
+                               (snap["uv"][idx, 1] - cy) / fy * z, z], -1)
+                T = np.asarray(snap["T"], np.float64)[snap["host"][idx]]
+                xyz_out.append(np.einsum("pji,pj->pi", T[:, :3, :3],
+                                         Xc - T[:, :3, 3]))
+                col_out.append(snap["col"][idx])
+        if not xyz_out:
+            return np.zeros((0, 3)), np.zeros(0)
+        return np.concatenate(xyz_out), np.concatenate(col_out)
 
     def _marginalize_frame(self, slot: int, stats: solve.BAStats):
         cfg = self.cfg

@@ -84,28 +84,23 @@ def dump_trajectory(out_dir: str, poses_cw: np.ndarray,
 
 
 def dump_map(out_dir: str, system) -> int:
-    """World point cloud from the active window points (+ KF depth maps)."""
+    """Full-map world point cloud — persistent archived points of every
+    marginalized KF (pose-graph corrected) plus the live window
+    (reference: Map.cc's global point store + the active window) — and
+    per-KF inverse-depth overlays."""
     os.makedirs(out_dir, exist_ok=True)
+    Xw, color = system.global_map_points(include_window=True)
+    if len(Xw) == 0:
+        return 0
+    write_ply(os.path.join(out_dir, "map.ply"), Xw, color)
+
+    # per-KF sparse inverse-depth overlays (live window only)
     win = system.win
-    T = np.asarray(win.current_pose(), np.float64)
     p_valid = np.asarray(win.p_valid)
     p_host = np.asarray(win.p_host)
     uv = np.asarray(win.p_uv)
     idep = np.maximum(np.asarray(win.p_idepth), 1e-6)
-    color = np.asarray(win.p_color)[:, 4]          # center-pattern intensity
-    fx, fy, cx, cy = (float(v) for v in np.asarray(win.c))
-
     idx = np.flatnonzero(p_valid)
-    if len(idx) == 0:
-        return 0
-    z = 1.0 / idep[idx]
-    Xc = np.stack([(uv[idx, 0] - cx) / fx * z, (uv[idx, 1] - cy) / fy * z, z],
-                  axis=-1)
-    Th = T[p_host[idx]]
-    Xw = np.einsum("pji,pj->pi", Th[:, :3, :3], Xc - Th[:, :3, 3])
-    write_ply(os.path.join(out_dir, "map.ply"), Xw, color[idx])
-
-    # per-KF sparse inverse-depth overlays
     imgs = np.asarray(win.images[..., 0])
     for slot, kid in enumerate(system.slot_kf):
         if kid is None:
@@ -117,4 +112,4 @@ def dump_map(out_dir: str, system) -> int:
             val = 255.0 * min(idep[p] / 2.0, 1.0)
             img[max(v - 1, 0): v + 2, max(u - 1, 0): u + 2] = val
         _save_gray_image(os.path.join(out_dir, f"depth_kf{kid}.png"), img)
-    return len(idx)
+    return len(Xw)

@@ -7,6 +7,9 @@ Toggles (env): LDSO_NO_DECIMATE=1  LDSO_NO_EARLYBREAK=1  LDSO_FIXED_MAD=1
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("LDSO_NO_COMPILE_CACHE", "1")
@@ -72,6 +75,26 @@ def _apply_toggles(cfg):
     if os.environ.get("LDSO_MAD"):
         cfg = cfg.replace(selector=dataclasses.replace(
             cfg.selector, min_act_dist=float(os.environ["LDSO_MAD"])))
+    if os.environ.get("LDSO_BA_REJECT") == "1":
+        # round-2 change probe: host-driven energy-accept/reject λ ladder
+        # instead of the fused force-accept device loop
+        from ldso_tpu.ba import solve as solve_mod
+        import ldso_tpu.system as sysmod
+
+        orig = solve_mod.run_ba
+
+        def run_ba_reject(win, HM, bM, cfg, anchor_slot=0, force_accept=True):
+            return orig(win, HM, bM, cfg, anchor_slot=anchor_slot,
+                        force_accept=False)
+
+        solve_mod.run_ba = run_ba_reject
+        sysmod.solve.run_ba = run_ba_reject
+    if os.environ.get("LDSO_TRACK_ITERS"):
+        # probe: scale the per-level tracker iteration budgets
+        import dataclasses as _dc
+        f = float(os.environ["LDSO_TRACK_ITERS"])
+        its = tuple(max(2, int(round(v * f))) for v in cfg.tracker.max_iterations)
+        cfg = cfg.replace(tracker=_dc.replace(cfg.tracker, max_iterations=its))
     if os.environ.get("LDSO_NO_DECIMATE") == "1":
         from ldso_tpu import tracker as trk
 

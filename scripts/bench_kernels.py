@@ -1,4 +1,6 @@
-"""Per-kernel TPU microbenchmarks: compile time + steady-state time.
+"""Per-kernel TPU microbenchmarks: compile time + steady-state time +
+roofline placement (BASELINE.md reporting row: "BA/matching kernels
+benchmarked vs roofline").
 
 Times the engine's hot device programs one at a time at production
 shapes (640x480, preset "default"):
@@ -7,6 +9,15 @@ shapes (640x480, preset "default"):
   track_step                   — pyramid+track (pipelined mode)
   trace_step                   — epipolar trace of the immature bank
   ba_gn_step                   — one windowed-BA Gauss-Newton iteration
+
+For each kernel the FLOP and HBM-byte counts come from XLA's own cost
+model (compiled.cost_analysis()); against the chip's peak FLOP rate and
+HBM bandwidth this yields arithmetic intensity, the speed-of-light time
+for each resource, which resource BOUNDS the kernel, and the achieved
+fraction of that bound (pct_of_roofline; mfu/hbm_util are the
+per-resource utilizations). Reference analog: the SSE hot loops in
+src/internal/Residuals.cc:~L40 / CoarseTracker::calcGSSSE have no such
+instrumentation — this is BASELINE.md's "vs roofline" requirement.
 
 Usage: python scripts/bench_kernels.py [kernel ...]   (default: all)
 """
@@ -20,9 +31,64 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+# chip peak specs by jax device_kind (f32-accumulate MXU peak, HBM BW).
+# Engine einsums run at Precision.HIGHEST (bf16x6 passes for f32-exact
+# results), so the honest FLOP ceiling is the fp32-equivalent MXU rate
+# (~bf16 peak / 4), not the raw bf16 number.
+_CHIP_SPECS = {
+    # kind-substring: (name, peak_fp32_eq_tflops, hbm_gbps)
+    "v5 lite": ("v5e", 197.0 / 4, 819.0),
+    "v5e": ("v5e", 197.0 / 4, 819.0),
+    "v5p": ("v5p", 459.0 / 4, 2765.0),
+    "v4": ("v4", 275.0 / 4, 1228.0),
+    "v6": ("v6e", 918.0 / 4, 1640.0),
+    "cpu": ("cpu", 0.5, 50.0),
+}
+
+
+def chip_spec():
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for sub, spec in _CHIP_SPECS.items():
+        if sub in kind:
+            return spec
+    return ("unknown", 100.0, 800.0)
+
+
+def cost_of(run, args, out):
+    """(flops, bytes_xla, bytes_io) for a jitted callable.
+
+    flops / bytes_xla come from XLA's cost model; bytes_xla counts every
+    op's operands PRE-fusion, so it OVERSTATES HBM traffic (fused
+    intermediates never leave VMEM) — an upper bound. bytes_io is the
+    sum of the argument + result array sizes: the cold-miss floor every
+    launch must move through HBM at least once — a lower bound. True
+    traffic lies in between; the roofline below uses bytes_io (i.e. the
+    optimistic/speed-of-light bound)."""
+    import jax
+
+    fl = by_xla = 0.0
+    try:
+        c = run.lower(*args).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        fl = float(c.get("flops", 0.0))
+        by_xla = float(c.get("bytes accessed", 0.0))
+    except Exception:
+        pass
+    by_io = 0.0
+    for leaf in jax.tree_util.tree_leaves((args, out)):
+        if hasattr(leaf, "nbytes"):
+            by_io += float(leaf.nbytes)
+    if fl <= 0 and by_io <= 0:
+        return None
+    return fl, by_xla, by_io
+
 
 def timed(name, build, run, n=20):
-    """build() -> args for run(); times first call (compile) + steady."""
+    """build() -> args for run(); times first call (compile) + steady,
+    then places the kernel on the chip roofline."""
     args = build()
     t0 = time.perf_counter()
     out = run(*args)
@@ -34,8 +100,34 @@ def timed(name, build, run, n=20):
         out = run(*args)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n
-    print(json.dumps(dict(kernel=name, compile_s=round(t_compile, 2),
-                          steady_ms=round(1e3 * dt, 3))), flush=True)
+
+    rec = dict(kernel=name, compile_s=round(t_compile, 2),
+               steady_ms=round(1e3 * dt, 3))
+    cost = cost_of(run, args, out)
+    if cost is not None:
+        chip, tflops, gbps = chip_spec()
+        flops, by_xla, by_io = cost
+        t_flop = flops / (tflops * 1e12)          # speed-of-light compute s
+        t_io = by_io / (gbps * 1e9)               # SoL memory s (IO floor)
+        t_xla = by_xla / (gbps * 1e9)             # memory s if nothing fused
+        sol = max(t_flop, t_io)
+        rec.update(
+            chip=chip,
+            gflops=round(flops / 1e9, 3),
+            mbytes_io=round(by_io / 1e6, 3),
+            mbytes_xla=round(by_xla / 1e6, 3),
+            arith_intensity=round(flops / max(by_io, 1.0), 2),
+            # a kernel far from BOTH ceilings is bound by neither — it is
+            # serialized small-op / gather latency (scan iterations)
+            bound=("MXU" if t_flop >= t_io else "HBM")
+            if sol / dt > 0.15 else "latency",
+            sol_ms=round(1e3 * sol, 3),           # roofline-limit time
+            pct_of_roofline=round(100.0 * sol / dt, 1),
+            mfu_pct=round(100.0 * t_flop / dt, 1),
+            hbm_util_pct=round(100.0 * t_io / dt, 1),
+            hbm_util_unfused_pct=round(100.0 * t_xla / dt, 1),
+        )
+    print(json.dumps(rec), flush=True)
     return dt
 
 

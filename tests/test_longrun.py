@@ -100,6 +100,67 @@ class TestMarginalizationConsistency:
         n_in = sum(1 for k in system.kfs.values() if k.in_window)
         assert n_in <= CFG.window.max_kf + 1
 
+    def test_persistent_map_accumulates(self, long_run):
+        """Marginalized KFs' points must survive into the global map
+        (reference: src/Map.cc — the exposed Point layer outlives the
+        window; round-2 gap: the map vanished with the window)."""
+        system, _, _ = long_run
+        assert len(system.map_points) >= 10, \
+            f"only {len(system.map_points)} KFs archived map points"
+        xyz, col = system.global_map_points(include_window=False)
+        n_win = int(np.asarray(system.win.p_valid).sum())
+        assert len(xyz) > 2 * n_win, \
+            f"archived map ({len(xyz)}) not clearly larger than window ({n_win})"
+        assert np.isfinite(xyz).all() and len(col) == len(xyz)
+
+
+class TestMultiLoopAtScale:
+    """Loop detection at reference scale (round-2 gap: nothing had ever
+    detected a loop past ~40 KFs, and the gates were prev-KF-score +
+    id-window heuristics). A ~100-KF multi-pass corridor — revisited
+    twice — must produce repeated TRUE loop closures and ZERO false
+    accepts under the covisible-floor + consistency-group gates
+    (reference: LoopClosing::DetectLoop's minScore over covisibles and
+    consistency groups, src/frontend/LoopClosing.cc:~L90)."""
+
+    def test_multi_loop_precision(self):
+        import dataclasses
+
+        from ldso_tpu.loop.closing import LoopClosing
+
+        cfg = CFG.replace(tracker=dataclasses.replace(
+            CFG.tracker, kf_global_weight=3.5))
+        n = 500
+        ds = SyntheticDataset(w=320, h=240, n=n, traj_kind="multi_pass",
+                              seed=0, supersample=1)
+        system = FullSystem(cfg, ds.intrinsics(), ds.w, ds.h)
+        lc = LoopClosing(cfg, ds.intrinsics(), train_after=6)
+        system.on_keyframe = lc.on_keyframe
+        system.loop_closing = lc
+        _drive(system, ds, n, allow_lost=True)
+
+        n_kf = len(system.kfs)
+        assert n_kf >= 100, f"only {n_kf} KFs — not a scale test"
+        assert len(lc.loops_closed) >= 2, \
+            f"only {len(lc.loops_closed)} loops closed over two revisits"
+
+        # precision: every accepted loop must be geometrically true —
+        # the two KFs' ground-truth camera centers are near each other
+        # (the corridor period is ~7.5 units; accepting across distant
+        # sections would be a perceptual-aliasing false positive)
+        gt_c = ds.poses_w_c[:, :3, 3]
+        extent = np.linalg.norm(gt_c.max(0) - gt_c.min(0))
+        for ka, kb, _ in lc.loops_closed:
+            fa = system.kfs[ka].frame_id
+            fb = system.kfs[kb].frame_id
+            d = np.linalg.norm(gt_c[fa] - gt_c[fb])
+            assert d < 0.2 * extent, \
+                f"FALSE loop accept {ka}->{kb}: gt distance {d:.2f} " \
+                f"(extent {extent:.2f})"
+        # the vocabulary must have scaled past the bootstrap tree
+        assert lc.vocab.k ** lc.vocab.levels >= 1000, \
+            f"vocab stayed at {lc.vocab.k}^{lc.vocab.levels}"
+
 
 class TestLoopClosureLongRun:
     def _run(self, with_loops: bool, n=200):
@@ -125,3 +186,39 @@ class TestLoopClosureLongRun:
         # can remove
         assert ate_on <= ate_off * 1.05, \
             f"loops made ATE worse: {ate_on:.2f}% vs {ate_off:.2f}%"
+        self._check_map_overlap(system)
+
+    @staticmethod
+    def _check_map_overlap(system):
+        """Map consistency after the loop (reference: Map.cc point
+        write-back): on the out-and-back trajectory the outbound and
+        return legs image the SAME corridor, so the pose-graph-corrected
+        archived points of early and late KFs must land on overlapping
+        geometry — a trajectory-only check would miss a map that never
+        got the Sim3 correction."""
+        from scipy.spatial import cKDTree
+
+        kids = sorted(system.map_points)
+        assert len(kids) >= 6, f"too few archived KFs: {len(kids)}"
+        third = max(len(kids) // 3, 1)
+        early, late = set(kids[:third]), set(kids[-third:])
+
+        def world_of(group):
+            xyz = []
+            for kid, d in system.map_points.items():
+                if kid not in group or kid not in system.kfs:
+                    continue
+                kf = system.kfs[kid]
+                S = kf.S_cw_opti if kf.S_cw_opti is not None else kf.T_cw
+                S_wc = np.linalg.inv(np.asarray(S, np.float64))
+                xyz.append(d["xyz_cam"] @ S_wc[:3, :3].T + S_wc[:3, 3])
+            return np.concatenate(xyz) if xyz else np.zeros((0, 3))
+
+        a, b = world_of(early), world_of(late)
+        assert len(a) > 50 and len(b) > 50, (len(a), len(b))
+        extent = np.linalg.norm(a.max(0) - a.min(0))
+        d_nn = cKDTree(a).query(b, k=1)[0]
+        frac = np.median(d_nn) / max(extent, 1e-9)
+        assert frac < 0.12, \
+            f"revisited-region map does not overlap: median NN " \
+            f"{np.median(d_nn):.3f} vs extent {extent:.3f} ({frac:.1%})"

@@ -56,7 +56,10 @@ class TestEndToEnd:
     def test_ate_within_bounds(self, odometry_run):
         system, ds = odometry_run
         pct, _ = _ate_pct(system, ds)
-        assert pct < 6.0, f"ATE {pct:.2f}% of extent"
+        # 3.8% after the round-3 BA accept/reject fix; the bound leaves
+        # headroom for platform jitter but catches the next convergence
+        # regression (round 2 shipped at 7.9% against the old 6.0 bound)
+        assert pct < 5.0, f"ATE {pct:.2f}% of extent"
 
     def test_keyframes_and_points_alive(self, odometry_run):
         system, ds = odometry_run
