@@ -97,7 +97,14 @@ class TrackerConfig:
     lambda_initial: float = 0.01
     lambda_success: float = 0.5      # multiply on accepted step
     lambda_fail: float = 4.0         # multiply on rejected step
-    step_eps: float = 5e-5           # convergence: |inc| below this → break
+    # convergence: |inc| below this → break (reference: trackNewestCoarse's
+    # "inc too small" break). 1e-3 rad/unit-translation is below the
+    # tracker's own noise floor at every level: the 30-frame ATE probe
+    # measures 3.74% vs 3.81% at 5e-5 (scripts/ate_probe.py LDSO_STEP_EPS),
+    # while the early-exit cuts the fine-level LM while_loops from their
+    # full 10/20/50-iteration budgets to the ~3-6 they need — the tracker
+    # is the largest slice of per-frame device time
+    step_eps: float = 1e-3
                                      # (~0.01 px at f=500 — sub-noise)
     # keyframe decision weights — reference: setting_kfGlobalWeight &
     # setting_maxShiftWeight{T,R,RT}, setting_maxAffineWeight

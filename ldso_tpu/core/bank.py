@@ -16,6 +16,7 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -95,6 +96,42 @@ def to_host(bank: Bank) -> HostBank:
     vals = jax.device_get(bank)
     return HostBank(**{f: np.array(getattr(vals, f))
                        for f in Bank._fields})
+
+
+@jax.jit
+def apply_patch(bank: Bank, drop_mask, seed_slots, seed_uv, seed_color,
+                seed_weight, seed_host_slot, seed_is_corner) -> Bank:
+    """Apply a keyframe's lifecycle surgery to the LIVE device bank in
+    one dispatch: drop rows (activated candidates, dying hosts), then
+    scatter fresh seeds into free slots.
+
+    Unlike the old snapshot→host-mutate→full-upload cycle, a patch is
+    safe under CONCURRENT tracing (batch mode: the tracking thread's
+    fused program keeps evolving the bank while the mapping thread
+    builds the KF): tracing only updates or invalidates rows that are
+    valid, never occupies free ones, so drops and seed scatters commute
+    with any traces that landed since the snapshot. ``seed_slots`` is
+    padded with an out-of-range index (mode="drop" discards those).
+    Seeds start exactly as the host writer did: interval [0, NaN),
+    UNINITIALIZED, zero quality/strikes (reference: ImmaturePoint ctor).
+    """
+    from ldso_tpu import trace as _t
+
+    sl = seed_slots
+    return Bank(
+        valid=(bank.valid & ~drop_mask).at[sl].set(True, mode="drop"),
+        host_slot=bank.host_slot.at[sl].set(seed_host_slot, mode="drop"),
+        uv=bank.uv.at[sl].set(seed_uv, mode="drop"),
+        color=bank.color.at[sl].set(seed_color, mode="drop"),
+        weight=bank.weight.at[sl].set(seed_weight, mode="drop"),
+        idepth_min=bank.idepth_min.at[sl].set(0.0, mode="drop"),
+        idepth_max=bank.idepth_max.at[sl].set(jnp.nan, mode="drop"),
+        quality=bank.quality.at[sl].set(0.0, mode="drop"),
+        last_status=bank.last_status.at[sl].set(_t.UNINITIALIZED,
+                                                mode="drop"),
+        outlier_count=bank.outlier_count.at[sl].set(0, mode="drop"),
+        is_corner=bank.is_corner.at[sl].set(seed_is_corner, mode="drop"),
+    )
 
 
 def from_host(hb: HostBank) -> Bank:

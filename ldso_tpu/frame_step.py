@@ -165,13 +165,20 @@ def _trace_core(img3_new, bank, T_eval, x, exposure_all, T_new_cw, ab_abs,
     # activatePointsMT deletes on IPS_OOB), persistent outliers after
     # many strikes
     dropped = bank.valid & ((st == trace_mod.OOB) | (new_outlier >= 8))
+    # pin output dtypes to the bank's (x64 mode can promote through
+    # python-float literals; the batch scan carries the bank and needs
+    # dtype-stable round trips)
     return bank._replace(
         valid=bank.valid & ~dropped,
-        idepth_min=jnp.where(good, res.idepth_min, bank.idepth_min),
-        idepth_max=jnp.where(good, res.idepth_max, bank.idepth_max),
-        quality=jnp.where(bank.valid, res.quality, bank.quality),
-        last_status=jnp.where(bank.valid, st, bank.last_status),
-        outlier_count=new_outlier,
+        idepth_min=jnp.where(good, res.idepth_min, bank.idepth_min)
+        .astype(bank.idepth_min.dtype),
+        idepth_max=jnp.where(good, res.idepth_max, bank.idepth_max)
+        .astype(bank.idepth_max.dtype),
+        quality=jnp.where(bank.valid, res.quality, bank.quality)
+        .astype(bank.quality.dtype),
+        last_status=jnp.where(bank.valid, st, bank.last_status)
+        .astype(bank.last_status.dtype),
+        outlier_count=new_outlier.astype(bank.outlier_count.dtype),
     )
 
 
@@ -198,3 +205,59 @@ def fused_step(img, ref: tracker.TrackerRef, T_last, T_prelast, ab0,
                            jnp.stack([a_abs, b_abs]), new_exposure, intr, cfg)
     return FusedStepOut(pyr=tuple(pyr), gsq=tuple(gsq), T=T, bank=new_bank,
                         diag=diag)
+
+
+class FusedBatchOut(NamedTuple):
+    pyr: tuple               # L × [B, H_l, W_l, 3] stacked pyramids
+    diags: jnp.ndarray       # [B, DIAG_LEN] — ONE d2h per B frames
+    bank: Bank               # bank after tracing all B frames
+    T_last: jnp.ndarray      # [4, 4] last refToNew (device carry)
+    T_prelast: jnp.ndarray   # [4, 4]
+    ab_rel: jnp.ndarray      # [2] last relative affine (device carry)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fused_batch(imgs, exposures, ref: tracker.TrackerRef, T_last, T_prelast,
+                ab0, bank: Bank, T_eval, x, exposure_all, T_ref_cw,
+                intr, cfg) -> FusedBatchOut:
+    """Track + trace B frames in ONE device dispatch.
+
+    On the remote-tunnel device EVERY host↔device interaction costs a
+    full round trip (~7 ms measured on the axon link — and a single
+    synchronous d2h permanently pins the link in that mode), so the
+    per-frame cost floor is set by dispatches per frame, not by device
+    compute (the whole fused program runs in ~2 ms of chip time). This
+    program amortizes one h2d (stacked uint8 frames), one dispatch, and
+    one d2h (stacked diags) over B frames via `lax.scan`: the
+    constant-velocity prediction pair, the relative-affine chain, and
+    the immature bank all ride the scan carry exactly as they ride
+    host state in the per-frame path (reference analog: the
+    addActiveFrame → trackNewCoarse → traceNewCoarse chain runs
+    per-frame with shared-memory state, FullSystem.cc:~L180).
+
+    KF decisions read the stacked diags AFTER the batch — decision
+    latency grows by ≤B-1 frames on top of the pipeline depth, the same
+    trade the reference's mapping-backlog skip already makes."""
+
+    def body(carry, inp):
+        T_l, T_p, ab, bk = carry
+        img, expo = inp
+        pyr, gsq, T, (a_abs, b_abs), diag = _track_core(
+            img, ref, T_l, T_p, ab, intr, expo, cfg)
+        T_new_cw = lie.se3_mul(T, T_ref_cw)
+        bk = _trace_core(pyr[0], bk, T_eval, x, exposure_all, T_new_cw,
+                         jnp.stack([a_abs, b_abs]), expo, intr, cfg)
+        ab_rel = diag[DIAG_A_REL:DIAG_B_REL + 1]
+        return (T, T_l, ab_rel, bk), (tuple(pyr), diag)
+
+    (T_l, T_p, ab_rel, bank), (pyrs, diags) = jax.lax.scan(
+        body, (T_last, T_prelast, ab0, bank), (imgs, exposures))
+    return FusedBatchOut(pyr=tuple(pyrs), diags=diags, bank=bank,
+                         T_last=T_l, T_prelast=T_p, ab_rel=ab_rel)
+
+
+@jax.jit
+def slice_pyr(pyr_batch, idx):
+    """One dispatch extracting frame ``idx``'s full pyramid from a batch
+    (the KF path needs its levels as standalone arrays)."""
+    return tuple(p[idx] for p in pyr_batch)

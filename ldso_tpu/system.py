@@ -96,12 +96,14 @@ def _sample_pattern(img3, uv, outlier_sum: float = 2500.0):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "seed"))
-def _seed_program(pyr0, gsq1, gsq2, cfg, seed: int):
+def _seed_program(pyr0, pyr1, pyr2, cfg, seed: int):
     """Candidate-seeding device program: corner detection + gradient
     selection + 8-pattern color/weight sampling for BOTH pools, fused
     into ONE dispatch with ONE packed readback (reference:
     makeNewTraces = FeatureDetector + PixelSelector + ImmaturePoint
     ctors — each a separate host call there, each a tunnel RTT here)."""
+    gsq1 = jnp.sum(pyr1[..., 1:3] ** 2, axis=-1)
+    gsq2 = jnp.sum(pyr2[..., 1:3] ** 2, axis=-1)
     osum = float(cfg.ba.outlier_th_sum_component)
     out = {}
     if cfg.selector.corner_fraction > 0:
@@ -186,13 +188,14 @@ class _MapTask:
     fid: int
     ts: float
     exposure: float
-    pyr: tuple                    # device pyramid of the frame
+    pyr: Optional[tuple]          # device pyramid of the frame
     T_cw: np.ndarray              # [4,4] tracked worldToCam
     aff: tuple                    # (a_abs, b_abs)
     need_kf: bool
     frame_rec: "FrameRecord"
     status: dict
     traced: bool = False          # bank already traced (fused sync step)
+    pyr_batch: Optional[tuple] = None   # (stacked pyr levels, index) — batch mode
 
 
 # ---------------------------------------------------------------------------
@@ -205,15 +208,23 @@ class FullSystem:
     in by ldso_tpu.loop.system glue; this class is the odometry core)."""
 
     def __init__(self, cfg: LdsoConfig, intr, w: int, h: int,
-                 async_mapping: bool = False, pipeline_depth: int = 0):
+                 async_mapping: bool = False, pipeline_depth: int = 0,
+                 batch_size: int = 1):
         """``async_mapping``: run the mapping back half (trace/KF/BA) on a
         worker thread (reference: mappingLoop). ``pipeline_depth`` > 0
         additionally defers the tracking readback by that many frames so
         device dispatches pipeline ahead of host decisions — tracking
         throughput then hides the host↔device round-trip latency (only
-        meaningful with async_mapping)."""
+        meaningful with async_mapping). ``batch_size`` > 1 additionally
+        tracks+traces B frames per device dispatch (frame_step.fused_batch)
+        — on the round-trip-bound device tunnel this divides the
+        per-frame dispatch cost by B at the price of ≤B-1 extra frames
+        of KF-decision latency."""
         self.cfg = cfg
         self.pipeline_depth = pipeline_depth if async_mapping else 0
+        self.batch_size = batch_size if (async_mapping
+                                         and pipeline_depth > 0) else 1
+        self._fbuf: List[tuple] = []          # frames awaiting batch dispatch
         L = cfg.shapes.pyr_levels
         m = 1 << (L - 1)
         self.w = (w // m) * m
@@ -238,6 +249,8 @@ class FullSystem:
         # with zero extra work. kf_id -> dict(xyz_cam [n,3], color [n]).
         self.map_points: dict[int, dict] = {}
         self.bank = bank_mod.empty_bank(cfg.shapes.max_immature)
+        self._patch_drop = np.zeros(cfg.shapes.max_immature, dtype=bool)
+        self._patch_seed = None
 
         self.initializer = CoarseInitializer(cfg, self.intr)
         self.initialized = False
@@ -259,6 +272,7 @@ class FullSystem:
         eye = jnp.eye(4, dtype=jnp.float32)
         self._T_last_rel = eye
         self._T_prelast_rel = eye
+        self._ab_rel_dev = jnp.zeros(2, jnp.float32)   # batch-mode carry
         self._T_ref_cw_dev = eye
         self._T_ref_cw_np = np.eye(4)
         self._ref_version = 0            # bumped at every tracker-ref swap
@@ -446,6 +460,97 @@ class FullSystem:
     # ------------------------------------------------------------------
 
     def _track_and_map(self, fid, ts, exposure, img) -> dict:
+        if self.batch_size > 1:
+            self._fbuf.append((fid, ts, float(exposure), img))
+            if len(self._fbuf) >= self.batch_size:
+                return self._flush_batch()
+            return dict(status="pending", frame_id=fid)
+        return self._track_single(fid, ts, exposure, img)
+
+    def _reexpress_carries(self, T_ref_np, ref_version):
+        """Ref swapped since the last dispatch → re-express the device
+        prediction pair relative to the new ref WITHOUT draining the
+        pipeline: T_rel_new = T_rel_old · T_oldref_cw · T_newref_cw⁻¹
+        is a pure device-side right-multiply. The relative-affine carry
+        resets to zero exactly like the per-frame path's last_rel_ab."""
+        if self._dispatch_ref_version == ref_version:
+            return
+        D_np = self._dispatch_T_ref_np @ np.linalg.inv(T_ref_np)
+        D_dev = jnp.asarray(D_np, jnp.float32)
+        self._T_last_rel = lie.se3_mul(self._T_last_rel, D_dev)
+        self._T_prelast_rel = lie.se3_mul(self._T_prelast_rel, D_dev)
+        self._ab_rel_dev = jnp.zeros(2, jnp.float32)
+        self._dispatch_ref_version = ref_version
+        self._dispatch_T_ref_np = T_ref_np
+
+    def _flush_batch(self) -> dict:
+        """Dispatch the buffered frames as ONE fused track+trace program
+        (frame_step.fused_batch): one h2d (stacked uint8 frames), one
+        dispatch, and later one d2h (stacked diags) per B frames."""
+        meta, self._fbuf = self._fbuf, []
+        if not meta:
+            return dict(status="pending")
+        if len(meta) < self.batch_size:
+            # tail flush (sequence end): per-frame path for the leftovers
+            st: dict = dict(status="pending")
+            for fid, ts, expo, img in meta:
+                st = self._track_single(fid, ts, expo, img)
+                if st.get("status") == "lost":
+                    break
+            return st
+        cfg = self.cfg
+        with self.state_lock:
+            ref = self.track_ref
+            ref_kf_id = self.ref_kf
+            T_ref_np = self._T_ref_cw_np
+            T_ref_dev = self._T_ref_cw_dev
+            ref_version = self._ref_version
+            bank = self.bank
+            T_eval, x_win, expo_win = (self.win.T_eval, self.win.x,
+                                       self.win.exposure)
+        self._reexpress_carries(T_ref_np, ref_version)
+
+        imgs = np.stack([m[3] for m in meta])
+        expos = np.asarray([m[2] for m in meta], np.float32)
+        out = frame_step.fused_batch(
+            jnp.asarray(imgs), jnp.asarray(expos), ref, self._T_last_rel,
+            self._T_prelast_rel, self._ab_rel_dev, bank, T_eval, x_win,
+            expo_win, T_ref_dev, self.intr_j, cfg)
+        with self.state_lock:
+            self.bank = out.bank
+        self._T_last_rel = out.T_last
+        self._T_prelast_rel = out.T_prelast
+        self._ab_rel_dev = out.ab_rel
+
+        # start the stacked-diag d2h NOW: by the time this batch ages out
+        # of the pipeline the values are host-side and the read is free
+        # (a blocking per-batch read costs a full tunnel RTT — measured
+        # 3.5x slower end-to-end without this)
+        if self._async_copy_ok:
+            try:
+                out.diags.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                self._async_copy_ok = False
+        self._pending.append(("batch", meta, out, ref_kf_id, T_ref_np))
+        max_batches = max(1, self.pipeline_depth // self.batch_size)
+        if len(self._pending) > max_batches:
+            return self._process_entry(self._pending.popleft())
+        return dict(status="pending", frame_id=meta[-1][0])
+
+    def _process_entry(self, entry) -> dict:
+        if entry[0] == "single":
+            return self._process_tracked(*entry[1])
+        _, meta, out, ref_kf_id, T_ref_np = entry
+        diags = np.asarray(out.diags)      # the per-batch readback
+        st: dict = dict(status="pending")
+        for i, (fid, ts, expo, _img) in enumerate(meta):
+            st = self._process_tracked(fid, ts, expo, out, ref_kf_id,
+                                       T_ref_np, diag=diags[i], batch_idx=i)
+            if st.get("status") == "lost":
+                break
+        return st
+
+    def _track_single(self, fid, ts, exposure, img) -> dict:
         cfg = self.cfg
         with self.state_lock:     # consistent ref bundle (async: mapping swaps)
             ref = self.track_ref
@@ -454,21 +559,12 @@ class FullSystem:
             T_ref_dev = self._T_ref_cw_dev
             ref_version = self._ref_version
 
-        # ref swapped since the last dispatch → re-express the device
-        # prediction pair relative to the new ref WITHOUT draining the
-        # pipeline: T_rel_new = T_rel_old · T_oldref_cw · T_newref_cw⁻¹
-        # is a pure device-side right-multiply (the old per-KF
-        # _drain_pending() flushed the whole pipeline and paid full
-        # tunnel RTTs at every keyframe — the dominant stall at 25 fps).
-        # _dispatch_T_ref_np is tracking-thread-local: the ref pose the
-        # in-flight dispatches were actually expressed against.
-        if self._dispatch_ref_version != ref_version:
-            D_np = self._dispatch_T_ref_np @ np.linalg.inv(T_ref_np)
-            D_dev = jnp.asarray(D_np, jnp.float32)
-            self._T_last_rel = lie.se3_mul(self._T_last_rel, D_dev)
-            self._T_prelast_rel = lie.se3_mul(self._T_prelast_rel, D_dev)
-            self._dispatch_ref_version = ref_version
-            self._dispatch_T_ref_np = T_ref_np
+        # re-express in-flight prediction carries on a ref swap (the old
+        # per-KF _drain_pending() flushed the whole pipeline and paid
+        # full tunnel RTTs at every keyframe — the dominant stall at
+        # 25 fps). _dispatch_T_ref_np is tracking-thread-local: the ref
+        # pose the in-flight dispatches were actually expressed against.
+        self._reexpress_carries(T_ref_np, ref_version)
 
         ab0 = jnp.asarray(self.last_rel_ab, jnp.float32)
         if self.pipeline_depth > 0:
@@ -499,14 +595,14 @@ class FullSystem:
                     out.diag.copy_to_host_async()
                 except (AttributeError, NotImplementedError):
                     self._async_copy_ok = False
-            self._pending.append(rec)
+            self._pending.append(("single", rec))
             if len(self._pending) > self.pipeline_depth:
                 if self._async_copy_ok:
-                    return self._process_tracked(*self._pending.popleft())
+                    return self._process_entry(self._pending.popleft())
                 # fallback (no async copies): batch one stacked d2h
                 # transfer to amortize the RTT over depth/2 frames
                 k = max(1, self.pipeline_depth // 2)
-                batch = [self._pending.popleft() for _ in range(k)]
+                batch = [self._pending.popleft()[1] for _ in range(k)]
                 diags = np.asarray(jnp.stack([b[3].diag for b in batch]))
                 st = None
                 for b, diag in zip(batch, diags):
@@ -528,15 +624,18 @@ class FullSystem:
                if self.T_prelast_cw is not None else T_l)
         self._T_last_rel = jnp.asarray(T_l, jnp.float32)
         self._T_prelast_rel = jnp.asarray(T_p, jnp.float32)
+        self._ab_rel_dev = jnp.zeros(2, jnp.float32)
         self._dispatch_T_ref_np = np.asarray(T_ref_cw, np.float64).copy()
         self._dispatch_ref_version = self._ref_version
 
     def _drain_pending(self):
+        if self.batch_size > 1 and self._fbuf:
+            self._flush_batch()        # tail frames (per-frame path)
         while self._pending:
-            self._process_tracked(*self._pending.popleft())
+            self._process_entry(self._pending.popleft())
 
     def _process_tracked(self, fid, ts, exposure, out, ref_kf_id,
-                         T_ref_cw, diag=None) -> dict:
+                         T_ref_cw, diag=None, batch_idx=None) -> dict:
         """Consume one tracking result: lost check, trajectory record,
         KF decision, hand-off to the mapping back half."""
         cfg = self.cfg
@@ -548,6 +647,7 @@ class FullSystem:
         if not np.isfinite(rmse0) or rmse0 > 4.0 * max(self.first_coarse_rmse, 1e-3):
             self.is_lost = True
             self._pending.clear()     # later frames tracked a lost state
+            self._fbuf.clear()
             return dict(status="lost", frame_id=fid, rmse=rmse0)
 
         T_rel = diag[frame_step.DIAG_T:].reshape(4, 4).astype(np.float64)
@@ -575,13 +675,28 @@ class FullSystem:
         a_abs = float(diag[frame_step.DIAG_A_ABS])
         b_abs = float(diag[frame_step.DIAG_B_ABS])
 
-        traced = self.pipeline_depth == 0     # fused_step already traced
-        task = _MapTask(fid, ts, exposure, out.pyr, T_cw, (a_abs, b_abs),
-                        bool(need_kf), self.frames[-1], status, traced)
-        if self._async:
-            self._deliver_tracked_frame(task)
+        if batch_idx is not None:
+            # batch mode: tracing already ran in the fused program; only
+            # keyframes have mapping work left (the pyramid rides as a
+            # lazy (stacked levels, index) pair, materialized by ONE
+            # slice dispatch in the mapping thread)
+            if need_kf:
+                task = _MapTask(fid, ts, exposure, None, T_cw,
+                                (a_abs, b_abs), True, self.frames[-1],
+                                status, traced=True,
+                                pyr_batch=(out.pyr, batch_idx))
+                if self._async:
+                    self._deliver_tracked_frame(task)
+                else:
+                    self._map_frame(task)
         else:
-            self._map_frame(task)
+            traced = self.pipeline_depth == 0     # fused_step already traced
+            task = _MapTask(fid, ts, exposure, out.pyr, T_cw, (a_abs, b_abs),
+                            bool(need_kf), self.frames[-1], status, traced)
+            if self._async:
+                self._deliver_tracked_frame(task)
+            else:
+                self._map_frame(task)
 
         self.T_prelast_cw = self.T_last_cw
         self.T_last_cw = T_cw
@@ -655,12 +770,16 @@ class FullSystem:
         self._map_thread = None
 
     def _map_frame(self, task: _MapTask):
+        pyr = task.pyr
+        if pyr is None and task.pyr_batch is not None:
+            pyr = frame_step.slice_pyr(task.pyr_batch[0],
+                                       jnp.int32(task.pyr_batch[1]))
         if task.need_kf:
-            self._make_keyframe(task.fid, task.ts, task.exposure, task.pyr,
+            self._make_keyframe(task.fid, task.ts, task.exposure, pyr,
                                 task.T_cw, task.aff, task.status,
                                 task.frame_rec, traced=task.traced)
         elif not task.traced:
-            self._trace_immatures(task.pyr[0], task.T_cw, task.exposure,
+            self._trace_immatures(pyr[0], task.T_cw, task.exposure,
                                   task.aff)
 
     # ------------------------------------------------------------------
@@ -688,6 +807,10 @@ class FullSystem:
         cfg = self.cfg
         if not traced:
             self._trace_immatures(pyr[0], T_cw, exposure, aff_ab)
+        # bank-surgery patch accumulators (applied to the LIVE device
+        # bank in one dispatch at the end — concurrent-tracing-safe)
+        self._patch_drop = np.zeros(self.bank.capacity, dtype=bool)
+        self._patch_seed = None
 
         kf = self._new_kf(fid, ts, T_cw, pyr[0], exposure, aff_ab)
         rec = frame_rec if frame_rec is not None else self.frames[-1]
@@ -695,15 +818,29 @@ class FullSystem:
         rec.T_from_ref = np.eye(4)
         rec.is_kf = True
         self.win = win_mod.connect_new_frame(self.win, kf.slot)
+        # dispatch the activation idepth-GN (self-gating, reads the live
+        # device bank) and the candidate-seed program NOW — both are
+        # independent of the snapshot below, so their device time and
+        # copies overlap the snapshot's tunnel round trip instead of
+        # paying their own later (old: one blocking pull each)
+        with self.state_lock:
+            bank_dev = self.bank
+        act_fut = trace_mod.activate_candidates_device(
+            self.win.images, self.win.frame_valid, self.win.current_pose(),
+            self.win.x, self.win.exposure, bank_dev, self.intr_j,
+            float(cfg.trace.min_quality), iters=3,
+            huber_th=float(cfg.ba.huber_th))
+        seed_fut = self._dispatch_seed(pyr)
         _mark("insert")
 
-        # READBACK 1 — bank + pre-BA window snapshot, one batched pull:
-        # host-side lifecycle surgery runs on this, pushed back at the end
+        # READBACK 1 — bank + pre-BA window snapshot + activation GN
+        # results, one batched pull: host-side lifecycle surgery runs on
+        # this, committed back as a device patch at the end
         snap = jax.device_get(dict(
-            bank={f: getattr(self.bank, f) for f in bank_mod.Bank._fields},
+            bank={f: getattr(bank_dev, f) for f in bank_mod.Bank._fields},
             p_valid=self.win.p_valid, p_uv=self.win.p_uv,
             p_idepth=self.win.p_idepth, p_host=self.win.p_host,
-            T=self.win.current_pose(), c=self.win.c))
+            T=self.win.current_pose(), c=self.win.c, act=act_fut))
         bank = bank_mod.HostBank(
             **{f: np.array(v) for f, v in snap["bank"].items()})
         _mark("snapshot")
@@ -714,7 +851,7 @@ class FullSystem:
             n_imm_q=int((bank.valid & (bank.last_status == trace_mod.GOOD)
                          & (bank.quality > self.cfg.trace.min_quality)).sum()))
         n_before = int(snap["p_valid"].sum())
-        n_act = self._activate_points(kf, bank, snap)   # READBACK 2 inside
+        n_act = self._activate_points(kf, bank, snap)   # uses snap["act"]
         _mark("activate")
         stats = self._run_ba()                          # READBACK 3 (packed)
         _mark("ba")
@@ -735,9 +872,9 @@ class FullSystem:
         _mark("marginalize")
 
         self._cull_immatures(marg_slots, bank)
-        self._make_new_immatures(kf.slot, pyr, bank)    # READBACK 4 inside
+        self._make_new_immatures(kf.slot, pyr, bank, seed_fut)
         _mark("seed")
-        self.bank = bank_mod.from_host(bank)
+        self._apply_bank_patch(kf.slot)
         self._update_tracker_ref(kf, stats)
         _mark("ref_swap")
 
@@ -1013,22 +1150,12 @@ class FullSystem:
         if n_want <= 0:
             return 0
 
-        can = (bank.valid & (bank.last_status == trace_mod.GOOD)
-               & (bank.quality > cfg.trace.min_quality)
-               & ~np.isnan(bank.idepth_max)
-               & ((bank.idepth_max + bank.idepth_min) > 0))
+        # activation GN results rode the KF snapshot pull (dispatched
+        # before it; can/d0 gated on device — activate_candidates_device)
+        res = snap["act"]
+        can = np.asarray(res["can"])
         if not can.any():
             return 0
-
-        # READBACK 2: all-host idepth GN in one dispatch + one pull
-        d0 = np.clip(0.5 * (bank.idepth_min + bank.idepth_max), 1e-3, 50.0)
-        res = jax.device_get(trace_mod.optimize_idepth_bank(
-            self.win.images, self.win.frame_valid, self.win.current_pose(),
-            self.win.x, self.win.exposure,
-            jnp.asarray(bank.uv), jnp.asarray(bank.color),
-            jnp.asarray(d0), jnp.asarray(can),
-            jnp.asarray(bank.host_slot, jnp.int32),
-            self.intr_j, iters=3, huber_th=cfg.ba.huber_th))
         d, Hd = np.asarray(res["idepth"]), np.asarray(res["H_dd"])
         E, cnt = np.asarray(res["energy"]), np.asarray(res["count"])
         ok = can & (Hd > cfg.ba.min_idepth_hessian) & (cnt >= 8) \
@@ -1085,6 +1212,7 @@ class FullSystem:
             n_corner_act=int(bank.is_corner[idx].sum()),
             min_act_dist=self._min_act_dist)
         bank.drop(activated_mask)
+        self._patch_drop |= activated_mask
         return k
 
     def _spacing_gate(self, kf, cand_uv_host: np.ndarray, d0: np.ndarray,
@@ -1136,34 +1264,79 @@ class FullSystem:
 
     def _cull_immatures(self, marg_slots: List[int], bank: HostBank):
         if marg_slots:
-            bank.drop(np.isin(bank.host_slot, marg_slots))
+            dying = np.isin(bank.host_slot, marg_slots)
+            bank.drop(dying)
+            self._patch_drop |= dying
 
-    def _make_new_immatures(self, slot: int, pyr, bank: Optional[HostBank] = None):
+    def _apply_bank_patch(self, host_slot: int):
+        """Commit this keyframe's bank surgery (drops + fresh seeds) to
+        the LIVE device bank in ONE dispatch, replacing the old
+        full-snapshot upload — safe while the tracking thread's batch
+        program keeps tracing the same bank (batch mode)."""
+        cap = self.bank.capacity
+        seed = self._patch_seed
+        pad_slots = np.full(cap, cap, np.int32)     # out-of-range → dropped
+        uv = np.zeros((cap, 2), np.float32)
+        color = np.zeros((cap, 8), np.float32)
+        weight = np.ones((cap, 8), np.float32)
+        corner = np.zeros(cap, dtype=bool)
+        if seed is not None:
+            slots, s_uv, s_color, s_weight, s_corner = seed
+            k = len(slots)
+            pad_slots[:k] = slots
+            uv[:k] = s_uv
+            color[:k] = s_color
+            weight[:k] = s_weight
+            corner[:k] = s_corner
+        with self.state_lock:
+            self.bank = bank_mod.apply_patch(
+                self.bank, jnp.asarray(self._patch_drop),
+                jnp.asarray(pad_slots), jnp.asarray(uv), jnp.asarray(color),
+                jnp.asarray(weight), jnp.int32(host_slot),
+                jnp.asarray(corner))
+        self._patch_drop = np.zeros(cap, dtype=bool)
+        self._patch_seed = None
+
+    def _dispatch_seed(self, pyr):
+        """Dispatch the candidate-seed program (non-blocking) and start
+        its device→host copies; the KF path calls this FIRST so the
+        seed round trip hides behind the snapshot/BA pulls."""
+        cfg = self.cfg
+        fut = _seed_program(pyr[0], pyr[1], pyr[2], cfg,
+                            seed=int(cfg.seed + (self.frame_count & 3)))
+        if self._async_copy_ok:
+            try:
+                for v in fut.values():
+                    v.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                self._async_copy_ok = False
+        return fut
+
+    def _make_new_immatures(self, slot: int, pyr,
+                            bank: Optional[HostBank] = None, seed_fut=None):
         """Select fresh candidates on the new KF (reference: makeNewTraces).
 
         With ``bank=None`` pulls/pushes the device bank itself (used by
         the initializer); inside the KF path the caller owns the snapshot."""
         if bank is None:
             bank = bank_mod.to_host(self.bank)
-            self._seed_immatures(slot, pyr, bank)
+            self._seed_immatures(slot, pyr, bank, seed_fut)
             self.bank = bank_mod.from_host(bank)
         else:
-            self._seed_immatures(slot, pyr, bank)
+            self._seed_immatures(slot, pyr, bank, seed_fut)
 
-    def _seed_immatures(self, slot: int, pyr, bank: HostBank):
+    def _seed_immatures(self, slot: int, pyr, bank: HostBank, seed_fut=None):
         cfg = self.cfg
         n_want = min(int(cfg.selector.desired_immature_density),
                      int((~bank.valid).sum()))
         if n_want <= 0:
             return
 
-        gsq1 = jnp.sum(pyr[1][..., 1:3] ** 2, axis=-1)
-        gsq2 = jnp.sum(pyr[2][..., 1:3] ** 2, axis=-1)
-        # ONE dispatch + ONE packed readback for corners, gradient picks,
-        # and both pools' pattern colors/weights
-        seed = jax.device_get(_seed_program(
-            pyr[0], gsq1, gsq2, cfg,
-            seed=int(cfg.seed + (self.frame_count & 3))))
+        if seed_fut is None:
+            seed_fut = self._dispatch_seed(pyr)
+        # ONE packed readback for corners, gradient picks, and both
+        # pools' pattern colors/weights (copies already in flight)
+        seed = jax.device_get(seed_fut)
 
         # corner-biased seeds (LDSO's signature frontend change:
         # FeatureDetector corners become first-class candidates so
@@ -1213,6 +1386,11 @@ class FullSystem:
         bank.last_status[slots] = trace_mod.UNINITIALIZED
         bank.outlier_count[slots] = 0
         bank.is_corner[slots] = is_corner[:k]
+        # device-patch record (KF path commits it via _apply_bank_patch)
+        self._patch_seed = (slots, uv_all[:k].astype(np.float32),
+                            color_all[:k].astype(np.float32),
+                            weight_all[:k].astype(np.float32),
+                            is_corner[:k])
 
     # ------------------------------------------------------------------
     # Tracker reference (reference: setCoarseTrackingRef + makeCoarseDepthL0)

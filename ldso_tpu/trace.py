@@ -344,3 +344,31 @@ def optimize_idepth_bank(
         d = jnp.clip(d + step, 1e-5, 50.0)
     Hd, bd, E, cnt = system(d)
     return dict(idepth=d, H_dd=Hd, energy=E, count=cnt)
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def activate_candidates_device(
+    win_images, frame_valid, T_all, x_affine, exposure_all,
+    bank, intr, min_quality: float,
+    iters: int = 3, huber_th: float = 9.0,
+):
+    """Self-gating variant of :func:`optimize_idepth_bank`: the
+    activation-candidate mask and initial idepth are computed ON DEVICE
+    from the live bank, so the whole activation GN can be DISPATCHED
+    before the keyframe's bank snapshot is read back — the dispatch
+    overlaps the snapshot's tunnel round trip instead of paying its own
+    (reference: activatePointsMT's candidate gate + optimizeImmaturePoint,
+    FullSystem.cc:~L500-600)."""
+    can = (bank.valid & (bank.last_status == GOOD)
+           & (bank.quality > min_quality)
+           & ~jnp.isnan(bank.idepth_max)
+           & ((bank.idepth_max + bank.idepth_min) > 0))
+    d0 = jnp.clip(0.5 * (jnp.where(can, bank.idepth_min, 0.0)
+                         + jnp.where(can, bank.idepth_max, 1.0)),
+                  1e-3, 50.0)
+    out = optimize_idepth_bank(
+        win_images, frame_valid, T_all, x_affine, exposure_all,
+        bank.uv, bank.color, d0, can, bank.host_slot.astype(jnp.int32),
+        intr, iters=iters, huber_th=huber_th)
+    out["can"] = can
+    return out

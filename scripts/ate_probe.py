@@ -89,6 +89,12 @@ def _apply_toggles(cfg):
 
         solve_mod.run_ba = run_ba_reject
         sysmod.solve.run_ba = run_ba_reject
+    if os.environ.get("LDSO_EPI"):
+        cfg = cfg.replace(shapes=dataclasses.replace(
+            cfg.shapes, epi_samples=int(os.environ["LDSO_EPI"])))
+    if os.environ.get("LDSO_STEP_EPS"):
+        cfg = cfg.replace(tracker=dataclasses.replace(
+            cfg.tracker, step_eps=float(os.environ["LDSO_STEP_EPS"])))
     if os.environ.get("LDSO_TRACK_ITERS"):
         # probe: scale the per-level tracker iteration budgets
         import dataclasses as _dc

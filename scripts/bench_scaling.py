@@ -69,13 +69,24 @@ def main():
     eff2 = None
     if "1" in table and "2" in table:
         eff2 = round(table["1"] / (2 * table["2"]), 3)
-    print(json.dumps({
+    rec = {
         "metric": "ba_scaling_step_ms",
         "table": table,
         "efficiency_2x": eff2,
         "virtual_devices": bool(virtual),
         "n_devices": n_dev,
-    }))
+    }
+    if virtual:
+        rec["physical_cores"] = os.cpu_count()
+        rec["note"] = (
+            "virtual CPU devices OVERSUBSCRIBE the same physical cores: "
+            "all shards time-share one host, so wall-clock cannot improve "
+            "with shard count and 'efficiency' here measures partitioning "
+            "overhead only, not interconnect scaling. The table validates "
+            "that the sharded schedule runs at production shapes; real "
+            "scaling numbers require >=2 TPU hosts (one collective per GN "
+            "iteration by construction, distributed/sharded_ba.py).")
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -68,6 +68,35 @@ class TestAsyncMapping:
         finally:
             sys_a.shutdown()
 
+    def test_batched_dispatch_stays_on_track(self):
+        """Frame-batched mode (fused_batch: B frames tracked+traced per
+        device dispatch — the round-trip-amortizing realtime mode): the
+        sequence still initializes, produces keyframes through the
+        bank-patch path, and tracks to the end with bounded drift."""
+        from ldso_tpu.eval.ate import ate_rmse
+
+        ds = SyntheticDataset(w=320, h=240, n=30, traj_kind="forward_arc",
+                              seed=0)
+        sys_b = FullSystem(CFG, ds.intrinsics(), ds.w, ds.h,
+                           async_mapping=True, pipeline_depth=8,
+                           batch_size=4)
+        try:
+            _feed(sys_b, ds, ds.num_frames)
+            assert sys_b.initialized and not sys_b.is_lost
+            assert len(sys_b.kfs) >= 3
+            ts, poses = sys_b.export_trajectory()
+            assert len(poses) == ds.num_frames   # tail frames flushed too
+            ids = [fr.frame_id for fr in sys_b.frames][: len(poses)]
+            gt = np.stack([ds.gt_pose_c_w(i) for i in ids])
+            est_c = np.stack([-(P[:3, :3].T @ P[:3, 3]) for P in poses])
+            gt_c = np.stack([-(P[:3, :3].T @ P[:3, 3]) for P in gt])
+            rmse, _ = ate_rmse(est_c, gt_c, with_scale=True)
+            extent = np.linalg.norm(gt_c.max(0) - gt_c.min(0))
+            assert rmse < 0.15 * extent, \
+                f"batched-mode ATE {100 * rmse / extent:.1f}% of extent"
+        finally:
+            sys_b.shutdown()
+
     def test_backlog_drops_nonkf_keeps_kf(self):
         """Queue rule (reference mappingLoop): when >3 tasks pile up the
         oldest non-KF tasks are dropped; KF tasks always survive."""
