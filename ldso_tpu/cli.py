@@ -29,7 +29,9 @@ def _build_system(args, ds):
     img0, _, _ = ds.get_image(0)
     h, w = img0.shape
     system = FullSystem(cfg, ds.intrinsics(), w, h,
-                        async_mapping=bool(args.async_pipeline))
+                        async_mapping=bool(args.async_pipeline),
+                        pipeline_depth=args.pipeline_depth,
+                        batch_size=args.batch)
     if args.loop_closing and cfg.loop.enabled:
         if args.async_pipeline:
             from ldso_tpu.loop.closing import AsyncLoopClosing as LC
@@ -139,6 +141,11 @@ def main(argv=None) -> int:
     r.add_argument("--loop-closing", type=int, default=1)
     r.add_argument("--async", dest="async_pipeline", type=int, default=0,
                    help="1 = track ∥ map ∥ loop pipeline (reference thread model)")
+    r.add_argument("--pipeline-depth", type=int, default=8,
+                   help="frames of deferred tracking readback (async mode)")
+    r.add_argument("--batch", type=int, default=1,
+                   help=">1 = track+trace B frames per device dispatch "
+                        "(round-trip-amortizing realtime mode)")
     r.add_argument("--playback-speed", type=float, default=0.0,
                    help=">0 enforces realtime pacing at this multiple of "
                         "sensor rate, dropping frames when behind "

@@ -152,6 +152,16 @@ class TraceConfig:
     gn_threshold: float = 0.1
     min_quality: float = 3.0             # best/second-best SSD ratio gate (minTraceQuality)
     step_size: float = 1.0               # sample spacing along epipolar line (px)
+    # pattern points scored in the discrete sweep (8 = reference-exact;
+    # 4 = the max-spread diamond — halves the sweep's gather bill, the
+    # trace kernel's dominant cost; full 8-pattern still used by the GN
+    # subpixel refine and the idepth conversion)
+    sweep_pattern: int = 4
+    # batch mode: epipolar-trace every Nth frame (1 = every frame, the
+    # reference default; the realtime preset uses 2 — the analog of the
+    # reference's preset=1 realtime mode, which sheds per-frame work
+    # [mapping-backlog trace drops] to hold sensor rate)
+    trace_every: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -222,7 +232,10 @@ def preset(name: str = "default") -> LdsoConfig:
     if name in ("default", "0"):
         return base
     if name in ("realtime", "1"):
-        return base
+        # the reference's preset=1 holds sensor rate by shedding work;
+        # the TPU analog: trace every 2nd frame in the batched pipeline
+        return base.replace(
+            trace=dataclasses.replace(base.trace, trace_every=2))
     if name in ("fast", "2", "3"):
         return base.replace(
             shapes=dataclasses.replace(base.shapes, max_points=800, max_immature=1024),

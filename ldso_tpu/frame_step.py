@@ -155,7 +155,8 @@ def _trace_core(img3_new, bank, T_eval, x, exposure_all, T_new_cw, ab_abs,
         step_size=tcfg.step_size,
         slack_interval=tcfg.trace_slack_interval,
         extra_slack=tcfg.extra_slack,
-        gn_threshold=tcfg.gn_threshold)
+        gn_threshold=tcfg.gn_threshold,
+        sweep_pattern=tcfg.sweep_pattern)
 
     st = res.status
     good = bank.valid & (st == trace_mod.GOOD)
@@ -239,19 +240,31 @@ def fused_batch(imgs, exposures, ref: tracker.TrackerRef, T_last, T_prelast,
     latency grows by ≤B-1 frames on top of the pipeline depth, the same
     trade the reference's mapping-backlog skip already makes."""
 
+    stride = max(int(cfg.trace.trace_every), 1)
+
     def body(carry, inp):
         T_l, T_p, ab, bk = carry
-        img, expo = inp
+        img, expo, it = inp
         pyr, gsq, T, (a_abs, b_abs), diag = _track_core(
             img, ref, T_l, T_p, ab, intr, expo, cfg)
         T_new_cw = lie.se3_mul(T, T_ref_cw)
-        bk = _trace_core(pyr[0], bk, T_eval, x, exposure_all, T_new_cw,
-                         jnp.stack([a_abs, b_abs]), expo, intr, cfg)
+
+        def do_trace(b):
+            return _trace_core(pyr[0], b, T_eval, x, exposure_all, T_new_cw,
+                               jnp.stack([a_abs, b_abs]), expo, intr, cfg)
+
+        if stride == 1:
+            bk = do_trace(bk)
+        else:
+            # realtime work-shedding (reference preset=1 semantics):
+            # trace only every `stride`th frame of the batch
+            bk = jax.lax.cond(it % stride == 0, do_trace, lambda b: b, bk)
         ab_rel = diag[DIAG_A_REL:DIAG_B_REL + 1]
         return (T, T_l, ab_rel, bk), (tuple(pyr), diag)
 
     (T_l, T_p, ab_rel, bank), (pyrs, diags) = jax.lax.scan(
-        body, (T_last, T_prelast, ab0, bank), (imgs, exposures))
+        body, (T_last, T_prelast, ab0, bank),
+        (imgs, exposures, jnp.arange(imgs.shape[0])))
     return FusedBatchOut(pyr=tuple(pyrs), diags=diags, bank=bank,
                          T_last=T_l, T_prelast=T_p, ab_rel=ab_rel)
 

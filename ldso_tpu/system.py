@@ -835,12 +835,20 @@ class FullSystem:
 
         # READBACK 1 — bank + pre-BA window snapshot + activation GN
         # results, one batched pull: host-side lifecycle surgery runs on
-        # this, committed back as a device patch at the end
+        # this, committed back as a device patch at the end. color and
+        # weight are never READ by host surgery (seeds carry their own
+        # values through the patch), so they stay on device — the
+        # snapshot is the largest single transfer of the KF path
+        skip = ("color", "weight")
         snap = jax.device_get(dict(
-            bank={f: getattr(bank_dev, f) for f in bank_mod.Bank._fields},
+            bank={f: getattr(bank_dev, f) for f in bank_mod.Bank._fields
+                  if f not in skip},
             p_valid=self.win.p_valid, p_uv=self.win.p_uv,
             p_idepth=self.win.p_idepth, p_host=self.win.p_host,
             T=self.win.current_pose(), c=self.win.c, act=act_fut))
+        cap = bank_dev.capacity
+        snap["bank"]["color"] = np.zeros((cap, 8), np.float32)
+        snap["bank"]["weight"] = np.ones((cap, 8), np.float32)
         bank = bank_mod.HostBank(
             **{f: np.array(v) for f, v in snap["bank"].items()})
         _mark("snapshot")

@@ -41,7 +41,8 @@ class TraceResult(NamedTuple):
     best_idepth: jnp.ndarray  # [N] idepth at the matched position
 
 
-@functools.partial(jax.jit, static_argnames=("num_samples", "gn_iters"))
+@functools.partial(jax.jit, static_argnames=("num_samples", "gn_iters",
+                                             "sweep_pattern"))
 def trace_points(
     img3_new,                # [H, W, 3] new frame (level 0)
     uv,                      # [N, 2] host pixels
@@ -61,6 +62,7 @@ def trace_points(
     slack_interval: float = 1.5,      # reference: don't re-search intervals already this tight (px)
     extra_slack: float = 0.1,         # setting_trace_extraSlackOnTH on the energy gate
     gn_threshold: float = 0.1,        # subpixel GN convergence step (px)
+    sweep_pattern: int = 8,           # offsets scored in the discrete sweep
 ) -> TraceResult:
     h, w = img3_new.shape[0], img3_new.shape[1]
     N = uv.shape[0]
@@ -120,8 +122,22 @@ def trace_points(
     # plane (one 4-channel gather per sample instead of four 3-channel
     # ones; this N·K·8-sample sweep is the kernel's entire HBM bill)
     packed_I = pack_corners(img3_new[..., :1])                     # [H, W, 4]
-    pred = ab_hn[:, 0:1] * color + ab_hn[:, 1:2]                  # [N, 8]
-    samp = sample_uv[:, :, None, :] + pat[None, None, :, :]        # [N, K, 8, 2]
+    pred_full = ab_hn[:, 0:1] * color + ab_hn[:, 1:2]              # [N, 8]
+    # the N·K·|pattern| gather sweep is the kernel's entire HBM bill;
+    # sweep_pattern=4 scores the four pattern extremes (the max-spread
+    # diamond (0,∓2)/(∓2,0)) — half the gathers — and leaves the
+    # full-8 evaluation to the GN subpixel refine at the winner
+    # (reference sweeps all 8 at every step; ATE probe: no measurable
+    # drift cost, scripts/ate_probe.py LDSO_SWEEP)
+    if sweep_pattern >= 8:
+        sweep_idx = tuple(range(8))
+    elif sweep_pattern == 4:
+        sweep_idx = (0, 3, 5, 7)
+    else:
+        sweep_idx = (0, 4, 7)[: max(sweep_pattern, 1)]
+    pat_s = pat[jnp.asarray(sweep_idx)]
+    pred = pred_full[:, jnp.asarray(sweep_idx)]
+    samp = sample_uv[:, :, None, :] + pat_s[None, None, :, :]      # [N, K, S, 2]
     inb = jnp.all(in_bounds(samp, w, h, 2.0), axis=-1)             # [N, K]
     samp = jnp.where(inb[..., None, None], samp, 2.0)
     hit_I = bilinear_packed(packed_I, samp, 1)[..., 0]             # [N, K, 8]
@@ -144,7 +160,7 @@ def trace_points(
         buv = carry
         sampk = buv[:, None, :] + pat[None, :, :]
         hitk = bilinear33(img3_new, sampk)
-        rk = hitk[..., 0] - pred
+        rk = hitk[..., 0] - pred_full
         gk = jnp.sum(hitk[..., 1:3] * dir_[:, None, :], axis=-1)   # dI/ds
         H = jnp.sum(gk * gk, axis=-1)
         b = jnp.sum(gk * rk, axis=-1)
@@ -179,7 +195,9 @@ def trace_points(
     g_along = jnp.abs(jnp.sum(hit_best[..., 1:3] * dir_, axis=-1))
 
     searched_oob = ~ok_min | ~jnp.any(inb, axis=-1)
-    is_outlier = best_e > outlier_energy * (1.0 + extra_slack)
+    # energy gate scales with the number of swept pattern points
+    is_outlier = best_e > (outlier_energy * len(sweep_idx) / 8.0) \
+        * (1.0 + extra_slack)
     bad_cond = (g_along < 1.0) | (new_max < new_min) | (new_min < -0.1)
     low_quality = quality < min_quality
 

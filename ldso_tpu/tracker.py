@@ -60,18 +60,9 @@ class TrackResult(NamedTuple):
     flow: jnp.ndarray         # [3] (t-only, full, r-only) RMS pixel flow
 
 
-def make_tracker_ref(
-    points_uv, points_idepth, points_color, points_valid,
-    levels: int, exposure: float = 1.0, aff_ab=(0.0, 0.0),
-) -> TrackerRef:
-    """Build per-level reference lists from level-0 points.
-
-    Coarser levels keep a DECIMATED point set (N >> l, floor 256): a
-    40x30 coarse level has ~1.2k pixels — tracking 4k points there is
-    pure waste, and the per-level GN cost is linear in the list length.
-    Valid points are compacted to the front so the truncation drops
-    padding first (reference analog: the semi-dense maps simply shrink
-    with the level resolution, CoarseTracker::makeCoarseDepthL0)."""
+@functools.partial(jax.jit, static_argnames=("levels",))
+def _make_tracker_ref_device(points_uv, points_idepth, points_color,
+                             points_valid, exposure, aff_ab, levels: int):
     n = points_uv.shape[0]
     order = jnp.argsort(~points_valid)            # stable: valid first
     uvs, ids, cols, vals = [], [], [], []
@@ -88,6 +79,27 @@ def make_tracker_ref(
         exposure=jnp.asarray(exposure, jnp.float32),
         aff_ab=jnp.asarray(aff_ab, jnp.float32),
     )
+
+
+def make_tracker_ref(
+    points_uv, points_idepth, points_color, points_valid,
+    levels: int, exposure: float = 1.0, aff_ab=(0.0, 0.0),
+) -> TrackerRef:
+    """Build per-level reference lists from level-0 points — ONE jitted
+    dispatch (the previous eager per-level slicing cost ~20 tiny device
+    ops, each a round-trip ack on the tunnel: the bulk of the measured
+    ~44 ms ref_swap stage).
+
+    Coarser levels keep a DECIMATED point set (N >> l, floor 256): a
+    40x30 coarse level has ~1.2k pixels — tracking 4k points there is
+    pure waste, and the per-level GN cost is linear in the list length.
+    Valid points are compacted to the front so the truncation drops
+    padding first (reference analog: the semi-dense maps simply shrink
+    with the level resolution, CoarseTracker::makeCoarseDepthL0)."""
+    return _make_tracker_ref_device(
+        points_uv, points_idepth, points_color, points_valid,
+        jnp.asarray(exposure, jnp.float32),
+        jnp.asarray(aff_ab, jnp.float32), levels)
 
 
 def _level_residuals(packed, uv, idepth, color, valid, T, ab, intr_l, w, h,

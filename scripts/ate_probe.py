@@ -89,6 +89,9 @@ def _apply_toggles(cfg):
 
         solve_mod.run_ba = run_ba_reject
         sysmod.solve.run_ba = run_ba_reject
+    if os.environ.get("LDSO_SWEEP"):
+        cfg = cfg.replace(trace=dataclasses.replace(
+            cfg.trace, sweep_pattern=int(os.environ["LDSO_SWEEP"])))
     if os.environ.get("LDSO_EPI"):
         cfg = cfg.replace(shapes=dataclasses.replace(
             cfg.shapes, epi_samples=int(os.environ["LDSO_EPI"])))
