@@ -9,10 +9,13 @@ tiny (8F+4)² damped system is solved densely on device, gauge
 nullspaces are projected out of the step, and idepth increments come
 back by per-point backsubstitution.
 
-Step control mirrors the reference's DEFAULTS: ``setting_forceAceptStep
-= true`` with a small fixed λ (SOLVER_FIX_LAMBDA) — GN steps are applied
-unconditionally and iteration stops on small increments; the
-energy-reject/λ-ladder path exists behind ``force_accept=False``.
+Step control: BOTH execution paths run the same energy-gated λ-damped
+LM loop (steps accepted only when the total energy drops — reference:
+FullSystem::optimize's energy-based accept). ``device_loop=True``
+(default) fuses the whole loop into ONE device program with ONE packed
+readback; ``device_loop=False`` drives the identical ladder from the
+host, one dispatch per iteration (useful for debugging — energies are
+visible per step).
 Gauge handling: the anchor keyframe's pose is HARD-fixed (cleaner than
 the reference's 1e10 soft prior, same effect), and the residual scale
 gauge (scaling about the anchor camera center, which a fixed anchor does
@@ -201,7 +204,7 @@ def _ba_loop_device(win: Window, HM, bM, cfg: LdsoConfig, anchor_slot: int):
     """The ENTIRE energy-gated GN/LM loop as ONE device program.
 
     Semantically identical to the host loop in :func:`run_ba` with
-    ``force_accept=False`` — λ-damped steps ACCEPTED only when the
+    ``device_loop=False`` — λ-damped steps ACCEPTED only when the
     total energy drops, λ·0.25 on success / λ·4 on rejection, early
     stop on a small accepted increment (reference:
     FullSystem::optimize's energy-based accept + lambda control) — but
@@ -330,16 +333,18 @@ def run_ba(
     bM: np.ndarray,               # [D] f64
     cfg: LdsoConfig,
     anchor_slot: int = 0,         # gauge-fixed slot (oldest KF in window)
-    force_accept: bool = True,    # reference default: setting_forceAceptStep
+    device_loop: bool = True,     # fused device loop vs host-driven loop
 ) -> Tuple[Window, BAStats]:
-    """Windowed-BA Gauss-Newton loop (reference: FullSystem::optimize).
+    """Windowed-BA energy-gated LM loop (reference: FullSystem::optimize).
 
-    force_accept=True (the reference default): the whole loop runs as a
-    single fused device program (:func:`_ba_loop_device`) — one dispatch
-    and one packed readback per keyframe. force_accept=False keeps the
-    host-driven energy-reject λ ladder (per-iteration accept decisions
-    need the energy on the host)."""
-    if force_accept:
+    BOTH paths are energy-gated (accept on energy decrease, λ·0.25 /
+    λ·4.0); the flag only selects execution strategy. device_loop=True
+    (default): the whole loop runs as a single fused device program
+    (:func:`_ba_loop_device`) — one dispatch and one packed readback per
+    keyframe. device_loop=False drives the identical λ ladder from the
+    host, one dispatch + readback per iteration (debug/inspection path;
+    equivalence is asserted by tests/test_ba.py)."""
+    if device_loop:
         win2, d = _ba_loop_device(win, jnp.asarray(HM, jnp.float32),
                                   jnp.asarray(bM, jnp.float32),
                                   cfg, anchor_slot)
@@ -406,23 +411,18 @@ def run_ba(
         win_try = apply_step(win, dx, cfg.scales.idepth * dd)
         step_size = float(jnp.max(jnp.abs(dx)))
 
-        if force_accept:
+        E_photo_try, _ = energy_only(win_try, huber_th=huber, outlier_sum=osum)
+        E_try = total_energy(E_photo_try, win_try)
+        if np.isfinite(E_try) and E_try < E:
             win = win_try
+            lam = max(lam * 0.25, 1e-7)
             sys = assemble(win, huber_th=huber, outlier_sum=osum)
             E = total_energy(sys.energy, win)
         else:
-            E_photo_try, _ = energy_only(win_try, huber_th=huber, outlier_sum=osum)
-            E_try = total_energy(E_photo_try, win_try)
-            if np.isfinite(E_try) and E_try < E:
-                win = win_try
-                lam = max(lam * 0.25, 1e-7)
-                sys = assemble(win, huber_th=huber, outlier_sum=osum)
-                E = total_energy(sys.energy, win)
-            else:
-                lam = lam * 4.0
-                if lam > 1e2:
-                    break
-                continue
+            lam = lam * 4.0
+            if lam > 1e2:
+                break
+            continue
 
         if step_size < cfg.ba.step_break_th and it + 1 >= cfg.ba.min_iterations:
             break

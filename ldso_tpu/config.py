@@ -105,7 +105,6 @@ class TrackerConfig:
     # full 10/20/50-iteration budgets to the ~3-6 they need — the tracker
     # is the largest slice of per-frame device time
     step_eps: float = 1e-3
-                                     # (~0.01 px at f=500 — sub-noise)
     # keyframe decision weights — reference: setting_kfGlobalWeight &
     # setting_maxShiftWeight{T,R,RT}, setting_maxAffineWeight
     kf_global_weight: float = 1.0

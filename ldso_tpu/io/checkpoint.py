@@ -23,7 +23,12 @@ import numpy as np
 
 
 def save_checkpoint(system, path: str) -> None:
-    """Serialize a FullSystem to `<path>.npz` + `<path>.json`."""
+    """Serialize a FullSystem to `<path>.npz` + `<path>.json`.
+
+    Host registries (kfs, frames, pose_edges, map_points) are mutated by
+    the async mapping/loop threads; snapshot them under state_lock so a
+    mid-run checkpoint never sees a torn map or a dict resized during
+    iteration."""
     arrays = {}
     # window pytree
     for name, val in system.win._asdict().items():
@@ -39,28 +44,36 @@ def save_checkpoint(system, path: str) -> None:
     if system.T_prelast_cw is not None:
         arrays["T_prelast_cw"] = system.T_prelast_cw
     arrays["last_rel_ab"] = system.last_rel_ab
+    with system.state_lock:
+        kfs_snap = {k: (v, np.asarray(v.T_cw).copy(),
+                        None if v.S_cw_opti is None
+                        else np.asarray(v.S_cw_opti).copy())
+                    for k, v in system.kfs.items()}
+        frames_snap = list(system.frames)
+        edges_snap = list(system.pose_edges)
+        map_snap = {k: (d["xyz_cam"].copy(), d["color"].copy())
+                    for k, d in system.map_points.items()}
     kfs = {
         str(k): dict(kf_id=v.kf_id, frame_id=v.frame_id, timestamp=v.timestamp,
                      slot=v.slot, in_window=v.in_window)
-        for k, v in system.kfs.items()
+        for k, (v, _, _) in kfs_snap.items()
     }
-    for k, v in system.kfs.items():
-        arrays[f"kf_T_{k}"] = v.T_cw
+    for k, (_, T_cw, S_opti) in kfs_snap.items():
+        arrays[f"kf_T_{k}"] = T_cw
+        if S_opti is not None:
+            arrays[f"kf_S_{k}"] = S_opti
     frames = [dict(frame_id=f.frame_id, timestamp=f.timestamp, ref_kf=f.ref_kf,
-                   is_kf=f.is_kf) for f in system.frames]
-    for i, f in enumerate(system.frames):
+                   is_kf=f.is_kf) for f in frames_snap]
+    for i, f in enumerate(frames_snap):
         arrays[f"fr_T_{i}"] = f.T_from_ref
     edges = [dict(kf_a=e.kf_a, kf_b=e.kf_b, kind=e.kind, scale=e.scale)
-             for e in system.pose_edges]
-    for i, e in enumerate(system.pose_edges):
+             for e in edges_snap]
+    for i, e in enumerate(edges_snap):
         arrays[f"edge_T_{i}"] = e.T_ab
     # persistent global map + PGO-optimized Sim3 poses
-    for k, d in system.map_points.items():
-        arrays[f"map_xyz_{k}"] = d["xyz_cam"]
-        arrays[f"map_col_{k}"] = d["color"]
-    for k, v in system.kfs.items():
-        if v.S_cw_opti is not None:
-            arrays[f"kf_S_{k}"] = v.S_cw_opti
+    for k, (xyz, col) in map_snap.items():
+        arrays[f"map_xyz_{k}"] = xyz
+        arrays[f"map_col_{k}"] = col
 
     meta = dict(
         kfs=kfs, frames=frames, edges=edges,

@@ -251,6 +251,16 @@ class FullSystem:
         self.bank = bank_mod.empty_bank(cfg.shapes.max_immature)
         self._patch_drop = np.zeros(cfg.shapes.max_immature, dtype=bool)
         self._patch_seed = None
+        # bank-patch journal: the mapping thread's _apply_bank_patch
+        # bumps the version and records its args so the tracking
+        # thread's fused-step/batch write-back can MERGE (re-apply) any
+        # patch that committed between its dispatch-time bank read and
+        # its write — otherwise the KF's candidate drops + fresh seeds
+        # are silently stomped by a bank derived from the pre-patch
+        # snapshot (lost-update race; patch-after-trace lineage is the
+        # order apply_patch's commute argument covers)
+        self._bank_version = 0
+        self._bank_patches: List[tuple] = []   # (version, apply_patch args)
 
         self.initializer = CoarseInitializer(cfg, self.intr)
         self.initialized = False
@@ -506,6 +516,7 @@ class FullSystem:
             T_ref_dev = self._T_ref_cw_dev
             ref_version = self._ref_version
             bank = self.bank
+            bank_version = self._bank_version
             T_eval, x_win, expo_win = (self.win.T_eval, self.win.x,
                                        self.win.exposure)
         self._reexpress_carries(T_ref_np, ref_version)
@@ -516,8 +527,7 @@ class FullSystem:
             jnp.asarray(imgs), jnp.asarray(expos), ref, self._T_last_rel,
             self._T_prelast_rel, self._ab_rel_dev, bank, T_eval, x_win,
             expo_win, T_ref_dev, self.intr_j, cfg)
-        with self.state_lock:
-            self.bank = out.bank
+        self._commit_traced_bank(out.bank, bank_version)
         self._T_last_rel = out.T_last
         self._T_prelast_rel = out.T_prelast
         self._ab_rel_dev = out.ab_rel
@@ -558,6 +568,8 @@ class FullSystem:
             T_ref_np = self._T_ref_cw_np
             T_ref_dev = self._T_ref_cw_dev
             ref_version = self._ref_version
+            bank = self.bank
+            bank_version = self._bank_version
 
         # re-express in-flight prediction carries on a ref swap (the old
         # per-KF _drain_pending() flushed the whole pipeline and paid
@@ -575,10 +587,10 @@ class FullSystem:
         else:
             out = frame_step.fused_step(
                 jnp.asarray(img), ref, self._T_last_rel,
-                self._T_prelast_rel, ab0, self.bank, self.win.T_eval,
+                self._T_prelast_rel, ab0, bank, self.win.T_eval,
                 self.win.x, self.win.exposure, T_ref_dev,
                 self.intr_j, jnp.float32(exposure), cfg)
-            self.bank = out.bank
+            self._commit_traced_bank(out.bank, bank_version)
         self._T_prelast_rel = self._T_last_rel
         self._T_last_rel = out.T
 
@@ -612,6 +624,18 @@ class FullSystem:
                 return st
             return dict(status="pending", frame_id=fid)
         return self._process_tracked(*rec)
+
+    def _commit_traced_bank(self, traced_bank, bank_version: int):
+        """Write a traced bank back to self.bank, re-applying any bank
+        patch the mapping thread committed since ``bank_version`` was
+        captured at dispatch (lost-update fix: the KF's drops + seeds
+        must survive a concurrent fused-step/batch write-back)."""
+        with self.state_lock:
+            if self._bank_version != bank_version:
+                for ver, args in self._bank_patches:
+                    if ver > bank_version:
+                        traced_bank = bank_mod.apply_patch(traced_bank, *args)
+            self.bank = traced_bank
 
     def _resync_prediction(self, T_ref_cw: np.ndarray):
         """Re-express the device-side (T_last, T_prelast) prediction pair
@@ -1296,12 +1320,16 @@ class FullSystem:
             color[:k] = s_color
             weight[:k] = s_weight
             corner[:k] = s_corner
+        args = (jnp.asarray(self._patch_drop), jnp.asarray(pad_slots),
+                jnp.asarray(uv), jnp.asarray(color), jnp.asarray(weight),
+                jnp.int32(host_slot), jnp.asarray(corner))
         with self.state_lock:
-            self.bank = bank_mod.apply_patch(
-                self.bank, jnp.asarray(self._patch_drop),
-                jnp.asarray(pad_slots), jnp.asarray(uv), jnp.asarray(color),
-                jnp.asarray(weight), jnp.int32(host_slot),
-                jnp.asarray(corner))
+            self.bank = bank_mod.apply_patch(self.bank, *args)
+            self._bank_version += 1
+            self._bank_patches.append((self._bank_version, args))
+            del self._bank_patches[:-4]    # journal tail: >1 KF between a
+            # dispatch's read and its write-back is impossible (one KF in
+            # flight), 4 is pure safety margin
         self._patch_drop = np.zeros(cap, dtype=bool)
         self._patch_seed = None
 

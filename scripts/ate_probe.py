@@ -83,9 +83,9 @@ def _apply_toggles(cfg):
 
         orig = solve_mod.run_ba
 
-        def run_ba_reject(win, HM, bM, cfg, anchor_slot=0, force_accept=True):
+        def run_ba_reject(win, HM, bM, cfg, anchor_slot=0, device_loop=True):
             return orig(win, HM, bM, cfg, anchor_slot=anchor_slot,
-                        force_accept=False)
+                        device_loop=False)
 
         solve_mod.run_ba = run_ba_reject
         sysmod.solve.run_ba = run_ba_reject

@@ -274,7 +274,7 @@ class TestBAConvergence:
         assert cos > 0.999, f"translation direction cos {cos}"
 
     def test_lambda_ladder_reject_path(self):
-        """force_accept=False: the reference's energy-reject λ ladder
+        """device_loop=False: the reference's energy-reject λ ladder
         (reference: FullSystem::optimize accept/reject + lambda update).
         Must still converge, never accept an energy-increasing step, and
         land close to the force-accept solution."""
@@ -283,7 +283,7 @@ class TestBAConvergence:
         D = CFG.shapes.state_dim
         HM, bM = marginal.empty_prior(D)
         win_r, st_r = solve.run_ba(win, HM, bM, CFG, anchor_slot=0,
-                                   force_accept=False)
+                                   device_loop=False)
         win_a, st_a = solve.run_ba(win, HM, bM, CFG, anchor_slot=0)
         assert st_r.energy_final <= st_r.energy_initial
         assert st_r.energy_final < 1.5 * st_a.energy_final + 1e-3
@@ -304,7 +304,7 @@ class TestBAConvergence:
         D = CFG.shapes.state_dim
         HM, bM = marginal.empty_prior(D)
         win_r, st = solve.run_ba(win, HM, bM, CFG, anchor_slot=0,
-                                 force_accept=False)
+                                 device_loop=False)
         # energy must be monotone non-increasing by construction
         assert st.energy_final <= st.energy_initial + 1e-6
         assert np.isfinite(st.energy_final)

@@ -42,7 +42,10 @@ assert sorted(got.reshape(-1).tolist()) == [10, 20], got
 m = mesh_mod.make_mesh_2d()
 assert m.devices.shape == (2, 2), m.devices.shape
 assert m.axis_names == (mesh_mod.DCN_AXIS, mesh_mod.ICI_AXIS)
-print("CHILD_OK", jax.process_index(), flush=True)
+# success sentinel: a FILE, not stdout — child stdout interleaves with
+# the Gloo shutdown banner and substring asserts on it are flaky
+with open(os.environ["LDSO_SENTINEL"], "w") as f:
+    f.write(f"CHILD_OK {jax.process_index()}")
 """
 
 
@@ -64,6 +67,7 @@ def test_two_process_coordinator_and_allgather(tmp_path):
         env.update(
             LDSO_REPO=REPO,
             LDSO_NO_COMPILE_CACHE="1",
+            LDSO_SENTINEL=str(tmp_path / f"ok_{pid}"),
             JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
             JAX_NUM_PROCESSES="2",
             JAX_PROCESS_ID=str(pid),
@@ -82,4 +86,7 @@ def test_two_process_coordinator_and_allgather(tmp_path):
         outs.append((p.returncode, out, err))
     for pid, (rc, out, err) in enumerate(outs):
         assert rc == 0, f"process {pid} failed:\n{err[-2000:]}"
-        assert f"CHILD_OK {pid}" in out
+        sentinel = tmp_path / f"ok_{pid}"
+        assert sentinel.exists(), \
+            f"process {pid} exited 0 but wrote no sentinel:\n{out[-500:]}"
+        assert sentinel.read_text() == f"CHILD_OK {pid}"
