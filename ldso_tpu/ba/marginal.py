@@ -35,34 +35,43 @@ from ldso_tpu.ba.residuals import assemble
 MARG_WEIGHT_FAC = 0.25
 
 
-def marginalize_points(
-    win: Window,
-    marg_mask: np.ndarray,       # [P] points to fold into the prior
-    HM: np.ndarray,              # [D, D] f64, updated in place semantics (returned)
-    bM: np.ndarray,              # [D] f64
-    cfg: LdsoConfig,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Fold the FEJ-linearized residuals of dying points into HM/bM.
+def points_fold_start(win: Window, marg_mask: np.ndarray, cfg: LdsoConfig):
+    """Dispatch the FEJ assembly of dying points and START its
+    device→host copies; returns an opaque handle for
+    :func:`points_fold_apply`.
 
-    Equivalent of accumulateAF/SC in mode=2 (AccumulatedTopHessian
-    addPoint<2>): H_prior += Jᵀ Ω J − Schur(idepth), b_prior += Jᵀ Ω r₀."""
-    marg_mask = np.asarray(marg_mask)
-    if not marg_mask.any():
-        return HM, bM
-    # restrict the window's residual set to the dying points and assemble
-    # in FEJ mode (J at linearization, r transported to zero delta)
+    Split from the fold so the conductor can DEFER the f64 prior update
+    to the next prior use (the next keyframe's BA): a blocking
+    device_get here sat behind the whole pipelined device queue and
+    measured 70 ms - 2.5 s per marginalizing keyframe."""
     win_m = win._replace(p_valid=win.p_valid & jnp.asarray(marg_mask))
     sys = assemble(
         win_m, huber_th=cfg.ba.huber_th,
         outlier_sum=cfg.ba.outlier_th_sum_component, mode="fej",
     )
-    # one batched device→host pull (sequential np.asarray would pay a
-    # tunnel round trip per array)
+    handle = (sys.H, sys.b, sys.H_xd, sys.H_dd, sys.b_d,
+              np.asarray(marg_mask))
+    try:
+        for a in handle[:5]:
+            a.copy_to_host_async()
+    except (AttributeError, NotImplementedError):
+        pass
+    return handle
+
+
+def points_fold_apply(handle, HM: np.ndarray,
+                      bM: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Complete a deferred point fold: pull the (long since transferred)
+    FEJ blocks and fold them into the f64 prior.
+
+    Equivalent of accumulateAF/SC in mode=2 (AccumulatedTopHessian
+    addPoint<2>): H_prior += Jᵀ Ω J − Schur(idepth), b_prior += Jᵀ Ω r₀."""
     import jax
 
+    marg_mask = handle[5]
     H, b, Hxd, Hdd, bd = (
         np.asarray(a, dtype=np.float64)
-        for a in jax.device_get((sys.H, sys.b, sys.H_xd, sys.H_dd, sys.b_d)))
+        for a in jax.device_get(handle[:5]))
 
     active = marg_mask & (Hdd > 1e-8)
     inv_dd = np.where(active, 1.0 / np.maximum(Hdd, 1e-8), 0.0)
@@ -72,6 +81,21 @@ def marginalize_points(
     HM = HM + MARG_WEIGHT_FAC * (H - H_sc)
     bM = bM + MARG_WEIGHT_FAC * (b - b_sc)
     return HM, bM
+
+
+def marginalize_points(
+    win: Window,
+    marg_mask: np.ndarray,       # [P] points to fold into the prior
+    HM: np.ndarray,              # [D, D] f64, updated in place semantics (returned)
+    bM: np.ndarray,              # [D] f64
+    cfg: LdsoConfig,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Synchronous fold of dying points into HM/bM (start + apply;
+    used by tests and the initializer path — the KF path defers)."""
+    marg_mask = np.asarray(marg_mask)
+    if not marg_mask.any():
+        return HM, bM
+    return points_fold_apply(points_fold_start(win, marg_mask, cfg), HM, bM)
 
 
 def marginalize_frame(

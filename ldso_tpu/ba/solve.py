@@ -212,15 +212,17 @@ def _ba_loop_device(win: Window, HM, bM, cfg: LdsoConfig, anchor_slot: int):
     single dispatch with a single packed readback, which is what the
     latency-bound remote-TPU path needs (SURVEY §7.2 risk 5).
 
-    The accepted state AND its linearized system ride the scan carry,
+    The accepted state AND its linearized system ride the loop carry,
     so an accepted iteration costs exactly one `assemble` (at the new
     state) and a rejected one costs one (re-used linearization point,
     larger λ) — the same evaluation count as the reference. Round-3
     regression note: the round-2 formulation force-accepted every step
     and measurably under-converged at the same iteration budget
     (ATE 7.9% → 3.8% on the 30-frame probe, scripts/ate_probe.py).
-    The early-stop is a freeze: iterations after convergence are no-ops
-    on a fixed budget (static shapes; XLA-friendly control flow).
+    The loop is a `lax.while_loop`, so a keyframe that converges in 2
+    iterations pays 2 `assemble`s, not the full budget — on a device
+    whose per-frame throughput is bound by total device time, the
+    round-3 freeze formulation wasted (budget − actual) × ~6 ms per KF.
     """
     F = win.num_frames
     huber = cfg.ba.huber_th
@@ -243,8 +245,12 @@ def _ba_loop_device(win: Window, HM, bM, cfg: LdsoConfig, anchor_slot: int):
                 + 0.5 * jnp.dot(delta, jnp.matmul(HM, delta, precision=_HI))
                 + 0.5 * jnp.sum(prior_d * da * da))
 
-    def body(carry, it):
-        x, c, pid, sys, E_acc, lam, done, n_steps = carry
+    def cond(carry):
+        _x, _c, _pid, _sys, _E, _lam, done, _n, it = carry
+        return (it < cfg.ba.max_iterations) & ~done
+
+    def body(carry):
+        x, c, pid, sys, E_acc, lam, done, n_steps, it = carry
         w = win._replace(x=x, c=c, p_idepth=pid)
         # trial step from the ACCEPTED state's linearization
         dx, dd = _solve_core(
@@ -256,27 +262,26 @@ def _ba_loop_device(win: Window, HM, bM, cfg: LdsoConfig, anchor_slot: int):
         E_try = total_energy(sys_try.energy, w_try)
         step = jnp.max(jnp.abs(dx))
 
-        ok = ~done & jnp.isfinite(E_try) & (E_try < E_acc)
+        ok = jnp.isfinite(E_try) & (E_try < E_acc)
         x = jnp.where(ok, w_try.x, x)
         c = jnp.where(ok, w_try.c, c)
         pid = jnp.where(ok, w_try.p_idepth, pid)
         sys = jax.tree.map(lambda a, b_: jnp.where(ok, b_, a), sys, sys_try)
         E_acc = jnp.where(ok, E_try, E_acc)
-        lam = jnp.where(done, lam,
-                        jnp.where(ok, jnp.maximum(lam * 0.25, 1e-7),
-                                  lam * 4.0)).astype(jnp.float32)
+        lam = jnp.where(ok, jnp.maximum(lam * 0.25, 1e-7),
+                        lam * 4.0).astype(jnp.float32)
         n_steps = n_steps + jnp.where(ok, 1, 0)
-        done = done | (ok & (step < cfg.ba.step_break_th)
-                       & (it + 1 >= cfg.ba.min_iterations)) | (lam > 1e2)
-        return (x, c, pid, sys, E_acc, lam, done, n_steps), None
+        done = (ok & (step < cfg.ba.step_break_th)
+                & (it + 1 >= cfg.ba.min_iterations)) | (lam > 1e2)
+        return (x, c, pid, sys, E_acc, lam, done, n_steps, it + 1)
 
     sys0 = assemble(win, huber_th=huber, outlier_sum=osum)
     E0 = total_energy(sys0.energy, win)
     init = (win.x, win.c, win.p_idepth, sys0, E0,
             jnp.float32(cfg.ba.lambda_initial), jnp.asarray(False),
-            jnp.int32(0))
-    (x, c, pid, sys, E, _, _, n_steps), _ = jax.lax.scan(
-        body, init, jnp.arange(cfg.ba.max_iterations))
+            jnp.int32(0), jnp.int32(0))
+    (x, c, pid, sys, E, _, _, n_steps, _) = jax.lax.while_loop(
+        cond, body, init)
 
     win = win._replace(x=x, c=c, p_idepth=pid)
 
@@ -325,6 +330,7 @@ class BAStats(NamedTuple):
     p_uv: object = None               # np [P, 2] host-frame pixel coords
     p_color: object = None            # np [P] center-pattern intensity
     c: object = None                  # np [4] post-BA intrinsics
+    extra: object = None              # caller piggyback (rides the readback)
 
 
 def run_ba(
@@ -334,6 +340,7 @@ def run_ba(
     cfg: LdsoConfig,
     anchor_slot: int = 0,         # gauge-fixed slot (oldest KF in window)
     device_loop: bool = True,     # fused device loop vs host-driven loop
+    extra_fetch=None,             # extra device values to ride the ONE readback
 ) -> Tuple[Window, BAStats]:
     """Windowed-BA energy-gated LM loop (reference: FullSystem::optimize).
 
@@ -348,7 +355,9 @@ def run_ba(
         win2, d = _ba_loop_device(win, jnp.asarray(HM, jnp.float32),
                                   jnp.asarray(bM, jnp.float32),
                                   cfg, anchor_slot)
-        d = jax.device_get(d)           # ONE transfer for every stat
+        # ONE transfer for every stat (+ caller piggyback values: the KF
+        # path rides its activation stats on this same round trip)
+        d, extra = jax.device_get((d, extra_fetch))
         stats = BAStats(
             iterations=int(d["n_steps"]),
             energy_initial=float(d["E0"]),
@@ -369,6 +378,7 @@ def run_ba(
             p_uv=np.asarray(d["p_uv"]),
             p_color=np.asarray(d["p_color"]),
             c=np.asarray(d["c"]),
+            extra=extra,
         )
         return win2, stats
 
@@ -453,5 +463,6 @@ def run_ba(
         p_uv=np.asarray(win.p_uv),
         p_color=np.asarray(win.p_color)[:, 4],
         c=np.asarray(win.c),
+        extra=(None if extra_fetch is None else jax.device_get(extra_fetch)),
     )
     return win, stats

@@ -56,7 +56,12 @@ class Shapes:
     max_frames: int = 8              # window slots (reference keeps ≤7 KFs)
     max_points: int = 2048           # active point bank capacity
     max_immature: int = 2048         # immature (candidate) point capacity
-    epi_samples: int = 64            # epipolar search discretization
+    # epipolar search discretization: 32 samples over the clamped
+    # max-search segment (0.027·(w+h) ≈ 30 px at 640×480) ≈ 1 px spacing
+    # — the reference's own step size (traceOn walks ~1 px steps); 64
+    # was 2× oversampled and the N·K·pattern gather sweep is the trace
+    # kernel's entire cost
+    epi_samples: int = 32
     track_points: int = 4096         # semi-dense tracker points per level (lvl0)
     init_points: int = 1024          # two-frame initializer points (finest lvl)
     init_neighbors: int = 10         # k-NN regularizer graph degree

@@ -134,6 +134,13 @@ def apply_patch(bank: Bank, drop_mask, seed_slots, seed_uv, seed_color,
     )
 
 
+@jax.jit
+def drop_rows(bank: Bank, mask) -> Bank:
+    """Invalidate rows (one dispatch) — the activation half of a
+    keyframe's bank surgery when the seed half comes later."""
+    return bank._replace(valid=bank.valid & ~mask)
+
+
 def from_host(hb: HostBank) -> Bank:
     return Bank(
         valid=jnp.asarray(hb.valid),

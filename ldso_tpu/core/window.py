@@ -35,6 +35,11 @@ from ldso_tpu.math import lie
 PATTERN_OFFSETS = np.asarray(PATTERN, dtype=np.float32)  # [8, 2]
 
 
+@jax.jit
+def _current_pose_jit(x, T_eval):
+    return lie.se3_mul(lie.se3_exp(x[:, :6]), T_eval)
+
+
 class Window(NamedTuple):
     """Device-resident window state (a single pytree)."""
 
@@ -69,8 +74,14 @@ class Window(NamedTuple):
         return self.p_uv.shape[0]
 
     def current_pose(self, slot=None):
-        """worldToCam of slot(s): exp(xi)·T_eval."""
-        T = lie.se3_mul(lie.se3_exp(self.x[:, :6]), self.T_eval)
+        """worldToCam of slot(s): exp(xi)·T_eval.
+
+        Jitted: called EAGERLY (outside any jit) this chain is dozens of
+        tiny ops, each a separate dispatch — on the remote-tunnel device
+        that measured 50-150 ms per call and was the real cost hiding
+        inside the round-3 KF 'snapshot' stage. Inside a jit the inner
+        jit inlines, so traced callers are unaffected."""
+        T = _current_pose_jit(self.x, self.T_eval)
         return T if slot is None else T[slot]
 
 
@@ -109,6 +120,7 @@ def state_delta(win: Window) -> jnp.ndarray:
     return jnp.concatenate([dx, dc])
 
 
+@jax.jit
 def insert_frame(
     win: Window,
     slot: int,
@@ -133,6 +145,7 @@ def insert_frame(
     )
 
 
+@jax.jit
 def remove_frame(win: Window, slot: int) -> Window:
     """Free a slot: invalidate the frame, its hosted points, and every
     residual targeting it."""
@@ -144,6 +157,7 @@ def remove_frame(win: Window, slot: int) -> Window:
     )
 
 
+@jax.jit
 def add_points(
     win: Window,
     slots: np.ndarray,        # [K] point-bank slots to fill (entry >= P drops)
@@ -179,6 +193,7 @@ def add_points(
     )
 
 
+@jax.jit
 def drop_points(win: Window, mask) -> Window:
     """Deactivate points (mask [P] True = drop)."""
     keep = ~jnp.asarray(mask)
@@ -188,6 +203,7 @@ def drop_points(win: Window, mask) -> Window:
     )
 
 
+@jax.jit
 def connect_new_frame(win: Window, slot: int) -> Window:
     """After inserting a KF, switch on residuals from every active point
     toward it (except points it hosts)."""

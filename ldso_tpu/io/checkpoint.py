@@ -33,6 +33,8 @@ def save_checkpoint(system, path: str) -> None:
     # window pytree
     for name, val in system.win._asdict().items():
         arrays[f"win_{name}"] = np.asarray(val)
+    if hasattr(system, "_materialize_prior"):
+        system._materialize_prior()     # flush deferred marginalization folds
     arrays["HM"] = system.HM
     arrays["bM"] = system.bM
     bank = system.immatures

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ldso_tpu import frame_step, select, tracker, trace as trace_mod
+from ldso_tpu import frame_step, lifecycle, select, tracker, trace as trace_mod
 from ldso_tpu.ba import marginal, solve
 from ldso_tpu.ba.residuals import assemble
 from ldso_tpu.config import LdsoConfig
@@ -235,6 +235,9 @@ class FullSystem:
         self.win = win_mod.empty_window(cfg, self.h, self.w, self.intr)
         D = cfg.shapes.state_dim
         self.HM, self.bM = marginal.empty_prior(D)
+        # deferred marginalization folds awaiting their f64 apply
+        # (see _materialize_prior)
+        self._prior_pending: List[tuple] = []
 
         self.slot_kf: List[Optional[int]] = [None] * cfg.shapes.max_frames
         self.kfs: dict[int, KeyframeRecord] = {}
@@ -249,10 +252,8 @@ class FullSystem:
         # with zero extra work. kf_id -> dict(xyz_cam [n,3], color [n]).
         self.map_points: dict[int, dict] = {}
         self.bank = bank_mod.empty_bank(cfg.shapes.max_immature)
-        self._patch_drop = np.zeros(cfg.shapes.max_immature, dtype=bool)
-        self._patch_seed = None
-        # bank-patch journal: the mapping thread's _apply_bank_patch
-        # bumps the version and records its args so the tracking
+        # bank-patch journal: the mapping thread's _commit_bank_patch
+        # bumps the version and records (fn, args) so the tracking
         # thread's fused-step/batch write-back can MERGE (re-apply) any
         # patch that committed between its dispatch-time bank read and
         # its write — otherwise the KF's candidate drops + fresh seeds
@@ -260,7 +261,7 @@ class FullSystem:
         # snapshot (lost-update race; patch-after-trace lineage is the
         # order apply_patch's commute argument covers)
         self._bank_version = 0
-        self._bank_patches: List[tuple] = []   # (version, apply_patch args)
+        self._bank_patches: List[tuple] = []   # (version, fn, args)
 
         self.initializer = CoarseInitializer(cfg, self.intr)
         self.initialized = False
@@ -292,6 +293,14 @@ class FullSystem:
         self._n_active_cache = 0         # active-point count (updated per KF)
         self.kf_ms: List[float] = []     # wall ms per keyframe build
         self.kf_stage_ms: List[dict] = []  # per-KF stage breakdown
+        # end-to-end frame→pose latency (submit at add_frame → pose
+        # available in _process_tracked; pipelined/batched modes defer
+        # the readback, so this is the honest "realtime" latency number)
+        self.frame_latency_ms: List[float] = []
+        self._t_submit: dict = {}
+        # KF decisions suppressed because one KF was already in flight
+        # (work-shedding; reference: needNewKFAfter keeps ONE pending KF)
+        self.kf_suppressed = 0
         self._pending: collections.deque = collections.deque()
         # adaptive activation spacing (reference: currentMinActDist)
         self._min_act_dist = cfg.selector.min_act_dist
@@ -333,8 +342,11 @@ class FullSystem:
 
     def add_frame(self, img, timestamp: Optional[float] = None,
                   exposure: float = 1.0) -> dict:
+        import time as _time
+
         fid = self.frame_count
         self.frame_count += 1
+        self._t_submit[fid] = _time.perf_counter()
         ts = float(timestamp) if timestamp is not None else float(fid)
         # keep uint8 frames uint8: the device programs widen on-chip and
         # the 4x-smaller h2d transfer matters on the latency-bound tunnel
@@ -455,7 +467,7 @@ class FullSystem:
                                            is_kf=(i == 0)))
         self.frames[-1] = FrameRecord(fid, ts, kf1.kf_id, np.eye(4), True)
 
-        self._make_new_immatures(kf1.slot, pyr)
+        self._seed_new_kf(kf1.slot, pyr)
         self._update_tracker_ref(kf1)
         self.T_last_cw = np.asarray(self.kfs[kf1.kf_id].T_cw)
         self.T_prelast_cw = np.eye(4)
@@ -543,9 +555,15 @@ class FullSystem:
                 self._async_copy_ok = False
         self._pending.append(("batch", meta, out, ref_kf_id, T_ref_np))
         max_batches = max(1, self.pipeline_depth // self.batch_size)
-        if len(self._pending) > max_batches:
-            return self._process_entry(self._pending.popleft())
-        return dict(status="pending", frame_id=meta[-1][0])
+        st = None
+        while self._pending and (
+                len(self._pending) > max_batches
+                or (self._async_copy_ok
+                    and self._entry_ready(self._pending[0]))):
+            st = self._process_entry(self._pending.popleft())
+            if st.get("status") == "lost":
+                return st
+        return st or dict(status="pending", frame_id=meta[-1][0])
 
     def _process_entry(self, entry) -> dict:
         if entry[0] == "single":
@@ -596,21 +614,30 @@ class FullSystem:
 
         rec = (fid, ts, exposure, out, ref_kf_id, T_ref_np)
         if self.pipeline_depth > 0:
-            # deferred decision: dispatch ahead, read results N frames
-            # late. The diag's device→host copy is STARTED at dispatch
-            # (copy_to_host_async), so by the time the entry ages out of
-            # the pipeline (depth frames ≈ one tunnel RTT later) the
-            # value is already host-side and the read is free — steady
-            # state pays ~zero blocking RTTs per tracked frame.
+            # deferred decision: dispatch ahead, read results late. The
+            # diag's device→host copy is STARTED at dispatch
+            # (copy_to_host_async); entries are drained as soon as their
+            # value is device-ready (≈ one tunnel RTT after dispatch),
+            # with pipeline_depth as the upper bound — so the KF
+            # decision lags by the RTT, not by a fixed depth (decision
+            # staleness directly costs trajectory accuracy in async
+            # mode: the new ref is built from the flagged frame).
             if self._async_copy_ok:
                 try:
                     out.diag.copy_to_host_async()
                 except (AttributeError, NotImplementedError):
                     self._async_copy_ok = False
             self._pending.append(("single", rec))
+            if self._async_copy_ok:
+                st = None
+                while self._pending and (
+                        len(self._pending) > self.pipeline_depth
+                        or self._entry_ready(self._pending[0])):
+                    st = self._process_entry(self._pending.popleft())
+                    if st.get("status") == "lost":
+                        return st
+                return st or dict(status="pending", frame_id=fid)
             if len(self._pending) > self.pipeline_depth:
-                if self._async_copy_ok:
-                    return self._process_entry(self._pending.popleft())
                 # fallback (no async copies): batch one stacked d2h
                 # transfer to amortize the RTT over depth/2 frames
                 k = max(1, self.pipeline_depth // 2)
@@ -625,6 +652,15 @@ class FullSystem:
             return dict(status="pending", frame_id=fid)
         return self._process_tracked(*rec)
 
+    @staticmethod
+    def _entry_ready(entry) -> bool:
+        try:
+            if entry[0] == "single":
+                return entry[1][3].diag.is_ready()
+            return entry[2].diags.is_ready()
+        except AttributeError:
+            return True
+
     def _commit_traced_bank(self, traced_bank, bank_version: int):
         """Write a traced bank back to self.bank, re-applying any bank
         patch the mapping thread committed since ``bank_version`` was
@@ -632,10 +668,22 @@ class FullSystem:
         must survive a concurrent fused-step/batch write-back)."""
         with self.state_lock:
             if self._bank_version != bank_version:
-                for ver, args in self._bank_patches:
+                for ver, fn, args in self._bank_patches:
                     if ver > bank_version:
-                        traced_bank = bank_mod.apply_patch(traced_bank, *args)
+                        traced_bank = fn(traced_bank, *args)
             self.bank = traced_bank
+
+    def _commit_bank_patch(self, fn, *args):
+        """Apply a bank-surgery op to the LIVE device bank under lock
+        and journal it for merge-aware tracking write-backs."""
+        with self.state_lock:
+            self.bank = fn(self.bank, *args)
+            self._bank_version += 1
+            self._bank_patches.append((self._bank_version, fn, args))
+            # journal tail: >2 patches between a dispatch's read and its
+            # write-back is impossible (one KF in flight, ≤2 patches per
+            # KF); 6 is pure safety margin
+            del self._bank_patches[:-6]
 
     def _resync_prediction(self, T_ref_cw: np.ndarray):
         """Re-express the device-side (T_last, T_prelast) prediction pair
@@ -662,9 +710,14 @@ class FullSystem:
                          T_ref_cw, diag=None, batch_idx=None) -> dict:
         """Consume one tracking result: lost check, trajectory record,
         KF decision, hand-off to the mapping back half."""
+        import time as _time
+
         cfg = self.cfg
         if diag is None:
             diag = np.asarray(out.diag)           # the per-frame readback
+        t_sub = self._t_submit.pop(fid, None)
+        if t_sub is not None:
+            self.frame_latency_ms.append(1e3 * (_time.perf_counter() - t_sub))
         rmse0 = float(diag[frame_step.DIAG_RMSE0])
         if self.first_coarse_rmse < 0:
             self.first_coarse_rmse = rmse0
@@ -688,6 +741,7 @@ class FullSystem:
         # frames keep using the old ref without re-flagging)
         if need_kf and self._async and self._kf_inflight > 0:
             need_kf = False
+            self.kf_suppressed += 1
         if need_kf and self._async:
             self._kf_inflight += 1
 
@@ -774,6 +828,7 @@ class FullSystem:
         pipelined tracking results still awaiting their readback."""
         self._drain_pending()
         if not self._async:
+            self._materialize_prior()
             return
         with self._map_cv:
             while self._map_queue or self._map_busy:
@@ -781,6 +836,7 @@ class FullSystem:
         if self._map_exc is not None:
             exc, self._map_exc = self._map_exc, None
             raise exc
+        self._materialize_prior()
 
     def shutdown(self):
         """Stop the mapping thread (after finish_mapping)."""
@@ -813,12 +869,15 @@ class FullSystem:
     def _make_keyframe(self, fid, ts, exposure, pyr, T_cw, aff_ab, status,
                        frame_rec: Optional[FrameRecord] = None,
                        traced: bool = False):
-        """The whole keyframe build costs FIVE blocking device round
-        trips (trace/insert dispatch → snapshot pull → activation GN pull
-        → fused-BA diag pull → [marg assembly pull] → seed pull); every
-        other interaction is a fire-and-forget dispatch. On the
-        latency-bound device tunnel this is what bounds mapping-thread
-        throughput (reference: makeKeyFrame is pure local compute)."""
+        """ONE blocking device round trip per keyframe — the packed BA
+        readback, with the activation stats riding it. Candidate
+        activation (GN + gates + spacing + window scatter) and the seed
+        merge run ENTIRELY on device (ldso_tpu.lifecycle); every other
+        interaction is a fire-and-forget dispatch. The round-3 KF path
+        paid ~5 blocking ~28 ms tunnel round trips per keyframe
+        (snapshot pull, BA pull, seed pull, plus eager-op chains);
+        reference analog: makeKeyFrame is pure local compute
+        (FullSystem.cc:~L700)."""
         import time as _time
         t_kf0 = _time.perf_counter()
         stage = {}
@@ -831,10 +890,6 @@ class FullSystem:
         cfg = self.cfg
         if not traced:
             self._trace_immatures(pyr[0], T_cw, exposure, aff_ab)
-        # bank-surgery patch accumulators (applied to the LIVE device
-        # bank in one dispatch at the end — concurrent-tracing-safe)
-        self._patch_drop = np.zeros(self.bank.capacity, dtype=bool)
-        self._patch_seed = None
 
         kf = self._new_kf(fid, ts, T_cw, pyr[0], exposure, aff_ab)
         rec = frame_rec if frame_rec is not None else self.frames[-1]
@@ -842,56 +897,37 @@ class FullSystem:
         rec.T_from_ref = np.eye(4)
         rec.is_kf = True
         self.win = win_mod.connect_new_frame(self.win, kf.slot)
-        # dispatch the activation idepth-GN (self-gating, reads the live
-        # device bank) and the candidate-seed program NOW — both are
-        # independent of the snapshot below, so their device time and
-        # copies overlap the snapshot's tunnel round trip instead of
-        # paying their own later (old: one blocking pull each)
+
+        # device-side activation: GN + gates + spacing + window scatter
+        # in one dispatch; only the adaptive-spacing ladder (sequential
+        # scalar state) stays on the host
+        mad_px = self._update_min_act_dist()
         with self.state_lock:
             bank_dev = self.bank
-        act_fut = trace_mod.activate_candidates_device(
-            self.win.images, self.win.frame_valid, self.win.current_pose(),
-            self.win.x, self.win.exposure, bank_dev, self.intr_j,
-            float(cfg.trace.min_quality), iters=3,
-            huber_th=float(cfg.ba.huber_th))
+        self.win, act_drop, act_stats = lifecycle.kf_activate(
+            self.win, bank_dev, self.intr_j, jnp.int32(kf.slot),
+            jnp.float32(mad_px), cfg)
+        self._commit_bank_patch(bank_mod.drop_rows, act_drop)
         seed_fut = self._dispatch_seed(pyr)
         _mark("insert")
 
-        # READBACK 1 — bank + pre-BA window snapshot + activation GN
-        # results, one batched pull: host-side lifecycle surgery runs on
-        # this, committed back as a device patch at the end. color and
-        # weight are never READ by host surgery (seeds carry their own
-        # values through the patch), so they stay on device — the
-        # snapshot is the largest single transfer of the KF path
-        skip = ("color", "weight")
-        snap = jax.device_get(dict(
-            bank={f: getattr(bank_dev, f) for f in bank_mod.Bank._fields
-                  if f not in skip},
-            p_valid=self.win.p_valid, p_uv=self.win.p_uv,
-            p_idepth=self.win.p_idepth, p_host=self.win.p_host,
-            T=self.win.current_pose(), c=self.win.c, act=act_fut))
-        cap = bank_dev.capacity
-        snap["bank"]["color"] = np.zeros((cap, 8), np.float32)
-        snap["bank"]["weight"] = np.ones((cap, 8), np.float32)
-        bank = bank_mod.HostBank(
-            **{f: np.array(v) for f, v in snap["bank"].items()})
-        _mark("snapshot")
-        status.update(
-            n_imm=int(bank.valid.sum()),
-            n_imm_good=int((bank.valid
-                            & (bank.last_status == trace_mod.GOOD)).sum()),
-            n_imm_q=int((bank.valid & (bank.last_status == trace_mod.GOOD)
-                         & (bank.quality > self.cfg.trace.min_quality)).sum()))
-        n_before = int(snap["p_valid"].sum())
-        n_act = self._activate_points(kf, bank, snap)   # uses snap["act"]
-        _mark("activate")
-        stats = self._run_ba()                          # READBACK 3 (packed)
+        # THE one readback: fused BA loop + activation stats
+        stats = self._run_ba(extra_fetch=act_stats)
         _mark("ba")
+        act = stats.extra
+        n_act = int(act[lifecycle.ST_N_ACT])
+        self._last_act_stats = dict(
+            n_corner_act=int(act[lifecycle.ST_N_CORNER_ACT]),
+            min_act_dist=self._min_act_dist)
+        status.update(
+            n_imm=int(act[lifecycle.ST_N_IMM]),
+            n_imm_good=int(act[lifecycle.ST_N_IMM_GOOD]),
+            n_imm_q=int(act[lifecycle.ST_N_IMM_Q]))
         self._refresh_kf_poses(stats.poses)
 
         marg_slots = self._flag_frames_for_marginalization(stats)
         n_goners = self._remove_and_marginalize_points(stats, marg_slots)
-        self._n_active_cache = n_before + n_act - n_goners
+        self._n_active_cache = int(act[lifecycle.ST_N_ACTIVE]) - n_goners
         status.update(n_act=n_act,
                       n_drop=n_goners,
                       # photometric-only: the total includes the prior's
@@ -903,10 +939,12 @@ class FullSystem:
             self._marginalize_frame(slot, stats)
         _mark("marginalize")
 
-        self._cull_immatures(marg_slots, bank)
-        self._make_new_immatures(kf.slot, pyr, bank, seed_fut)
+        # seed + cull: one device program builds the patch args (corner/
+        # gradient merge, dedup, free-slot assignment after drops); the
+        # patch commits under the journal so concurrent tracing
+        # write-backs can replay it
+        self._seed_new_kf(kf.slot, pyr, marg_slots, seed_fut)
         _mark("seed")
-        self._apply_bank_patch(kf.slot)
         self._update_tracker_ref(kf, stats)
         _mark("ref_swap")
 
@@ -941,10 +979,28 @@ class FullSystem:
         x = np.asarray(self.win.x[kf.slot])
         return float(x[6]), float(x[7])
 
-    def _run_ba(self) -> solve.BAStats:
+    def _materialize_prior(self):
+        """Apply deferred marginalization folds to the f64 prior, in
+        order. Called at every prior USE (next KF's BA, checkpoint,
+        shutdown) — by then the point-fold transfers started at the
+        marginalizing KF have long completed, so this costs ~nothing."""
+        for entry in self._prior_pending:
+            if entry[0] == "points":
+                self.HM, self.bM = marginal.points_fold_apply(
+                    entry[1], self.HM, self.bM)
+            else:
+                _, slot, aff_prior, aff_delta = entry
+                self.HM, self.bM = marginal.marginalize_frame(
+                    slot, self.HM, self.bM, frame_prior_diag=aff_prior,
+                    frame_prior_delta=aff_delta)
+        self._prior_pending = []
+
+    def _run_ba(self, extra_fetch=None) -> solve.BAStats:
+        self._materialize_prior()
         anchor = self._oldest_slot()
         self.win, stats = solve.run_ba(self.win, self.HM, self.bM, self.cfg,
-                                       anchor_slot=anchor)
+                                       anchor_slot=anchor,
+                                       extra_fetch=extra_fetch)
         # per-point idepth Hessian at the solution: consumers (loop
         # snapshot depth transfer, marginalize-vs-drop gate) use it as
         # the "depth actually observable" signal (reference:
@@ -1052,8 +1108,13 @@ class FullSystem:
         # exposed Point layer alive past marginalization)
         self._archive_map_points(stats, goners & (hdd > cfg.ba.min_idepth_hessian))
         if marg_mask.any():
-            self.HM, self.bM = marginal.marginalize_points(
-                self.win, marg_mask, self.HM, self.bM, cfg)
+            # DEFERRED fold: dispatch the FEJ assembly + async copies
+            # now, apply the f64 update at the next prior use — the
+            # blocking pull sat behind the whole pipelined device queue
+            # (70 ms - 2.5 s per marginalizing KF measured)
+            self._prior_pending.append(
+                ("points", marginal.points_fold_start(self.win, marg_mask,
+                                                      cfg)))
         self.win = win_mod.drop_points(self.win, jnp.asarray(goners))
         return int(goners.sum())
 
@@ -1147,9 +1208,9 @@ class FullSystem:
         # λ·x_zero — the fold convention bM := ∂E/∂Δ|_{Δ=0}
         aff_delta = np.asarray(stats.x_zero[slot], dtype=np.float64)
         aff_delta[:6] = 0.0
-        self.HM, self.bM = marginal.marginalize_frame(
-            slot, self.HM, self.bM, frame_prior_diag=aff_prior,
-            frame_prior_delta=aff_delta)
+        # deferred with the point folds (strict order preserved in the
+        # pending queue; the window/bookkeeping update happens NOW)
+        self._prior_pending.append(("frame", slot, aff_prior, aff_delta))
         self.win = win_mod.remove_frame(self.win, slot)
         self.slot_kf[slot] = None
 
@@ -1167,47 +1228,17 @@ class FullSystem:
             jnp.asarray(aff_ab, jnp.float32), jnp.float32(exposure),
             self.intr_j, self.cfg)
 
-    def _activate_points(self, new_kf: KeyframeRecord, bank: HostBank,
-                         snap: dict) -> int:
-        """Promote good candidates to active points (reference:
-        activatePointsMT + optimizeImmaturePoint). ONE device dispatch
-        optimizes every candidate's idepth regardless of host slot, one
-        batched pull reads the results, one dispatch scatters the chosen
-        points into the window. Returns the number activated."""
+    def _update_min_act_dist(self) -> float:
+        """Adaptive activation-spacing ladder (reference: the
+        currentMinActDist feedback in activatePointsMT): the radius
+        grows when the window is over-full and shrinks when starved.
+        Sequential scalar state — stays on the host; the device
+        activation program receives the resulting cell size. Returns
+        the occupancy-cell size in pixels (2·mad)."""
         cfg = self.cfg
-        p_valid = snap["p_valid"]
-        n_free = int((~p_valid).sum())
-        n_want = int(cfg.selector.desired_point_density) - int(p_valid.sum())
-        n_want = min(n_want, n_free)
-        if n_want <= 0:
-            return 0
-
-        # activation GN results rode the KF snapshot pull (dispatched
-        # before it; can/d0 gated on device — activate_candidates_device)
-        res = snap["act"]
-        can = np.asarray(res["can"])
-        if not can.any():
-            return 0
-        d, Hd = np.asarray(res["idepth"]), np.asarray(res["H_dd"])
-        E, cnt = np.asarray(res["energy"]), np.asarray(res["count"])
-        ok = can & (Hd > cfg.ba.min_idepth_hessian) & (cnt >= 8) \
-            & (E < cfg.ba.outlier_th * np.maximum(cnt, 1))
-        idx = np.flatnonzero(ok)
-        if len(idx) == 0:
-            return 0
-        d = d[idx]
-        hosts = bank.host_slot[idx]
-        # best quality first
-        order = np.argsort(-bank.quality[idx])
-        idx, d, hosts = idx[order], d[order], hosts[order]
-
-        # activation spacing (reference: CoarseDistanceMap + the adaptive
-        # currentMinActDist ladder in activatePointsMT): keep candidates
-        # away from existing points and from each other, with the radius
-        # fed back from the point-density error
-        n_now = float(p_valid.sum())
+        n_now = float(self._n_active_cache)
         desired = min(cfg.selector.desired_point_density,
-                      float(self.win.num_points))
+                      float(cfg.shapes.max_points))
         mad = self._min_act_dist
         if n_now < desired * 0.66:
             mad -= 0.8
@@ -1218,215 +1249,32 @@ class FullSystem:
         if n_now > desired:
             mad += 0.2
         self._min_act_dist = mad = float(np.clip(mad, 0.0, 4.0))
-        if mad >= 0.25 and len(idx):
-            keep = self._spacing_gate(new_kf, bank.uv[idx], d, hosts,
-                                      2.0 * mad, snap)
-            idx, d, hosts = idx[keep], d[keep], hosts[keep]
-        idx, d, hosts = idx[:n_want], d[:n_want], hosts[:n_want]
-
-        P = self.win.num_points
-        free = np.flatnonzero(~p_valid)
-        k = min(len(idx), len(free))
-        if k == 0:
-            return 0
-        idx, d, hosts = idx[:k], d[:k], hosts[:k]
-        slots_pad = np.full(P, P, np.int32)
-        slots_pad[:k] = free[:k]
-        self.win = win_mod.activate_points_device(
-            self.win, slots_pad,
-            _pad_rows(hosts.astype(np.int32), P),
-            _pad_rows(bank.uv[idx].astype(np.float32), P),
-            _pad_rows(d.astype(np.float32), P, 1.0),
-            outlier_sum=float(cfg.ba.outlier_th_sum_component))
-        activated_mask = np.zeros(bank.capacity, dtype=bool)
-        activated_mask[idx] = True
-        self._last_act_stats = dict(
-            n_corner_act=int(bank.is_corner[idx].sum()),
-            min_act_dist=self._min_act_dist)
-        bank.drop(activated_mask)
-        self._patch_drop |= activated_mask
-        return k
-
-    def _spacing_gate(self, kf, cand_uv_host: np.ndarray, d0: np.ndarray,
-                      hosts: np.ndarray, min_px: float,
-                      snap: dict) -> np.ndarray:
-        """Distance gate in the new KF's image (TPU-first redesign of the
-        reference's BFS CoarseDistanceMap: with ≤2k points an explicit
-        occupancy-cell check is cheaper than building a map). Candidates
-        are quality-ordered; each accepted one occupies a cell so
-        candidates also repel each other — expressed as vectorized
-        first-occurrence-per-cell (identical to the sequential set walk
-        because earlier rows always win np.unique's first occurrence)."""
-        T = np.asarray(snap["T"], dtype=np.float64)
-        fx, fy, cx, cy = (float(v) for v in snap["c"])
-        T_kf = T[kf.slot]
-        T_inv = np.linalg.inv(T)
-
-        def proj_into_kf(uv, idep, host_idx):
-            xh = np.stack([(uv[:, 0] - cx) / fx, (uv[:, 1] - cy) / fy,
-                           np.ones(len(uv))], axis=-1)
-            T_rel = np.einsum("ij,pjk->pik", T_kf, T_inv[host_idx])
-            X = np.einsum("pij,pj->pi", T_rel[:, :3, :3], xh) \
-                + T_rel[:, :3, 3] * idep[:, None]
-            z = np.maximum(X[:, 2], 1e-6)
-            return np.stack([fx * X[:, 0] / z + cx, fy * X[:, 1] / z + cy],
-                            axis=-1)
-
-        cell = max(min_px, 1.0)
-
-        def cell_keys(uv):
-            cells = np.floor(uv / cell).astype(np.int64)
-            return cells[:, 0] * (1 << 22) + cells[:, 1]
-
-        # occupancy from existing active points projected into the KF
-        p_valid = snap["p_valid"]
-        occ = np.zeros(0, np.int64)
-        if p_valid.any():
-            act_uv = proj_into_kf(snap["p_uv"][p_valid],
-                                  snap["p_idepth"][p_valid],
-                                  snap["p_host"][p_valid])
-            occ = cell_keys(act_uv)
-
-        keys = cell_keys(proj_into_kf(cand_uv_host, d0, hosts))
-        _, first = np.unique(keys, return_index=True)
-        keep = np.zeros(len(keys), bool)
-        keep[first] = True
-        keep &= ~np.isin(keys, occ)
-        return keep
-
-    def _cull_immatures(self, marg_slots: List[int], bank: HostBank):
-        if marg_slots:
-            dying = np.isin(bank.host_slot, marg_slots)
-            bank.drop(dying)
-            self._patch_drop |= dying
-
-    def _apply_bank_patch(self, host_slot: int):
-        """Commit this keyframe's bank surgery (drops + fresh seeds) to
-        the LIVE device bank in ONE dispatch, replacing the old
-        full-snapshot upload — safe while the tracking thread's batch
-        program keeps tracing the same bank (batch mode)."""
-        cap = self.bank.capacity
-        seed = self._patch_seed
-        pad_slots = np.full(cap, cap, np.int32)     # out-of-range → dropped
-        uv = np.zeros((cap, 2), np.float32)
-        color = np.zeros((cap, 8), np.float32)
-        weight = np.ones((cap, 8), np.float32)
-        corner = np.zeros(cap, dtype=bool)
-        if seed is not None:
-            slots, s_uv, s_color, s_weight, s_corner = seed
-            k = len(slots)
-            pad_slots[:k] = slots
-            uv[:k] = s_uv
-            color[:k] = s_color
-            weight[:k] = s_weight
-            corner[:k] = s_corner
-        args = (jnp.asarray(self._patch_drop), jnp.asarray(pad_slots),
-                jnp.asarray(uv), jnp.asarray(color), jnp.asarray(weight),
-                jnp.int32(host_slot), jnp.asarray(corner))
-        with self.state_lock:
-            self.bank = bank_mod.apply_patch(self.bank, *args)
-            self._bank_version += 1
-            self._bank_patches.append((self._bank_version, args))
-            del self._bank_patches[:-4]    # journal tail: >1 KF between a
-            # dispatch's read and its write-back is impossible (one KF in
-            # flight), 4 is pure safety margin
-        self._patch_drop = np.zeros(cap, dtype=bool)
-        self._patch_seed = None
+        return 2.0 * mad
 
     def _dispatch_seed(self, pyr):
-        """Dispatch the candidate-seed program (non-blocking) and start
-        its device→host copies; the KF path calls this FIRST so the
-        seed round trip hides behind the snapshot/BA pulls."""
+        """Dispatch the candidate-seed program (non-blocking); its
+        outputs stay on device — compute_seed_patch consumes them there
+        (reference: makeNewTraces = FeatureDetector + PixelSelector)."""
         cfg = self.cfg
-        fut = _seed_program(pyr[0], pyr[1], pyr[2], cfg,
-                            seed=int(cfg.seed + (self.frame_count & 3)))
-        if self._async_copy_ok:
-            try:
-                for v in fut.values():
-                    v.copy_to_host_async()
-            except (AttributeError, NotImplementedError):
-                self._async_copy_ok = False
-        return fut
+        return _seed_program(pyr[0], pyr[1], pyr[2], cfg,
+                             seed=int(cfg.seed + (self.frame_count & 3)))
 
-    def _make_new_immatures(self, slot: int, pyr,
-                            bank: Optional[HostBank] = None, seed_fut=None):
-        """Select fresh candidates on the new KF (reference: makeNewTraces).
-
-        With ``bank=None`` pulls/pushes the device bank itself (used by
-        the initializer); inside the KF path the caller owns the snapshot."""
-        if bank is None:
-            bank = bank_mod.to_host(self.bank)
-            self._seed_immatures(slot, pyr, bank, seed_fut)
-            self.bank = bank_mod.from_host(bank)
-        else:
-            self._seed_immatures(slot, pyr, bank, seed_fut)
-
-    def _seed_immatures(self, slot: int, pyr, bank: HostBank, seed_fut=None):
-        cfg = self.cfg
-        n_want = min(int(cfg.selector.desired_immature_density),
-                     int((~bank.valid).sum()))
-        if n_want <= 0:
-            return
-
+    def _seed_new_kf(self, slot: int, pyr, marg_slots=(), seed_fut=None):
+        """Device-side candidate reseed for a keyframe: merge corner +
+        gradient picks, cull candidates hosted by dying slots, scatter
+        into free bank slots — committed as a journaled patch."""
         if seed_fut is None:
             seed_fut = self._dispatch_seed(pyr)
-        # ONE packed readback for corners, gradient picks, and both
-        # pools' pattern colors/weights (copies already in flight)
-        seed = jax.device_get(seed_fut)
-
-        # corner-biased seeds (LDSO's signature frontend change:
-        # FeatureDetector corners become first-class candidates so
-        # loop-closure features inherit point depths — reference:
-        # FeatureDetector.cc + makeNewTraces, FullSystem.cc:~L760)
-        corner_uv = np.zeros((0, 2), np.float32)
-        c_idx = np.zeros(0, np.int64)
-        if cfg.selector.corner_fraction > 0:
-            # true FAST hits only (detect() marks them with a +1e3 score
-            # offset; its Shi-Tomasi fallback scores are matcher-grade,
-            # not candidate-grade)
-            fv = seed["corner_valid"] & (seed["corner_score"] > 1e3)
-            n_c = int(n_want * cfg.selector.corner_fraction)
-            c_idx = np.flatnonzero(fv)[:n_c]   # detect() is score-sorted
-            corner_uv = seed["corner_uv"][c_idx]
-
-        s_idx = np.flatnonzero(seed["sel_valid"])
-        uv = seed["sel_uv"][s_idx]
-        if len(corner_uv) and len(uv):
-            # drop gradient picks that duplicate a corner seed
-            d2 = ((uv[:, None, :] - corner_uv[None, :, :]) ** 2).sum(-1)
-            keep = d2.min(axis=1) > 4.0
-            s_idx, uv = s_idx[keep], uv[keep]
-        uv_all = np.concatenate([corner_uv, uv.astype(np.float32)])[:n_want]
-        color_all = np.concatenate([seed["corner_color"][c_idx],
-                                    seed["sel_color"][s_idx]]
-                                   if len(c_idx)
-                                   else [seed["sel_color"][s_idx]])[:n_want]
-        weight_all = np.concatenate([seed["corner_weight"][c_idx],
-                                     seed["sel_weight"][s_idx]]
-                                    if len(c_idx)
-                                    else [seed["sel_weight"][s_idx]])[:n_want]
-        is_corner = np.zeros(len(uv_all), bool)
-        is_corner[: len(corner_uv)] = True
-        if len(uv_all) == 0:
-            return
-        slots = bank.free_slots(len(uv_all))
-        k = len(slots)
-        bank.valid[slots] = True
-        bank.host_slot[slots] = slot
-        bank.uv[slots] = uv_all[:k]
-        bank.color[slots] = color_all[:k]
-        bank.weight[slots] = weight_all[:k]
-        bank.idepth_min[slots] = 0.0
-        bank.idepth_max[slots] = np.nan
-        bank.quality[slots] = 0.0
-        bank.last_status[slots] = trace_mod.UNINITIALIZED
-        bank.outlier_count[slots] = 0
-        bank.is_corner[slots] = is_corner[:k]
-        # device-patch record (KF path commits it via _apply_bank_patch)
-        self._patch_seed = (slots, uv_all[:k].astype(np.float32),
-                            color_all[:k].astype(np.float32),
-                            weight_all[:k].astype(np.float32),
-                            is_corner[:k])
+        dying = np.zeros(self.cfg.shapes.max_frames, dtype=bool)
+        for s in marg_slots:
+            dying[s] = True
+        with self.state_lock:
+            bank_dev = self.bank
+        drop, slots, s_uv, s_col, s_wgt, s_corner = \
+            lifecycle.compute_seed_patch(bank_dev, seed_fut, jnp.int32(slot),
+                                         jnp.asarray(dying), self.cfg)
+        self._commit_bank_patch(bank_mod.apply_patch, drop, slots, s_uv,
+                                s_col, s_wgt, jnp.int32(slot), s_corner)
 
     # ------------------------------------------------------------------
     # Tracker reference (reference: setCoarseTrackingRef + makeCoarseDepthL0)

@@ -122,6 +122,10 @@ def trace_points(
     # plane (one 4-channel gather per sample instead of four 3-channel
     # ones; this N·K·8-sample sweep is the kernel's entire HBM bill)
     packed_I = pack_corners(img3_new[..., :1])                     # [H, W, 4]
+    # full (I,dx,dy) corner pack for the GN refine + condition check:
+    # one 12-channel gather per sample instead of four 3-channel ones
+    # (the refine's 3·N·8 samples were ~40% of the kernel's gather count)
+    packed3 = pack_corners(img3_new)                               # [H, W, 12]
     pred_full = ab_hn[:, 0:1] * color + ab_hn[:, 1:2]              # [N, 8]
     # the N·K·|pattern| gather sweep is the kernel's entire HBM bill;
     # sweep_pattern=4 scores the four pattern extremes (the max-spread
@@ -159,7 +163,7 @@ def trace_points(
     def gn_step(carry, _):
         buv = carry
         sampk = buv[:, None, :] + pat[None, :, :]
-        hitk = bilinear33(img3_new, sampk)
+        hitk = bilinear_packed(packed3, sampk, 3)
         rk = hitk[..., 0] - pred_full
         gk = jnp.sum(hitk[..., 1:3] * dir_[:, None, :], axis=-1)   # dI/ds
         H = jnp.sum(gk * gk, axis=-1)
@@ -191,7 +195,7 @@ def trace_points(
     best_idepth = idepth_from(best_uv)
 
     # condition check: gradient along epipolar direction at the match
-    hit_best = bilinear33(img3_new, best_uv)
+    hit_best = bilinear_packed(packed3, best_uv, 3)
     g_along = jnp.abs(jnp.sum(hit_best[..., 1:3] * dir_, axis=-1))
 
     searched_oob = ~ok_min | ~jnp.any(inb, axis=-1)
@@ -318,6 +322,10 @@ def optimize_idepth_bank(
     ea = exposure_all * jnp.exp(x_affine[:, 6])                    # [F]
     ea_h = ea[host_slot]                                           # [N]
     b_h = x_affine[host_slot, 7]
+    # corner-packed window images: one 12-channel gather per sample
+    # instead of four (this GN's F·N·8·(iters+1) gather sweep is the
+    # whole activation cost)
+    packed = [pack_corners(win_images[f]) for f in range(F)]
 
     def system(d):
         Hd = jnp.zeros_like(d)
@@ -339,7 +347,7 @@ def optimize_idepth_bank(
             up, vp = X[..., 0] / zs, X[..., 1] / zs
             uvn = jnp.stack([fx * up + cx, fy * vp + cy], axis=-1)
             inb = in_bounds(uvn, w, h, 2.0) & okz & ok_f[:, None]
-            hit = bilinear33(win_images[f], uvn)
+            hit = bilinear_packed(packed[f], uvn, 3)
             r = hit[..., 0] - alpha[:, None] * color - beta[:, None]
             dre = 1.0 / zs
             Jd_u = fx * dre * (t[:, 0:1] - t[:, 2:3] * up)
