@@ -333,6 +333,50 @@ class BAStats(NamedTuple):
     extra: object = None              # caller piggyback (rides the readback)
 
 
+def run_ba_dispatch(win: Window, HM, bM, cfg: LdsoConfig,
+                    anchor_slot: int = 0):
+    """Dispatch the fused device BA loop and START the async copies of
+    its packed diag; returns (post-BA window [device], diag handle).
+    Pair with :func:`run_ba_fetch` — the split lets the conductor defer
+    the readback past the tracker-ref swap (deferred-finish KF path)."""
+    win2, d = _ba_loop_device(win, jnp.asarray(HM, jnp.float32),
+                              jnp.asarray(bM, jnp.float32), cfg, anchor_slot)
+    try:
+        for v in jax.tree_util.tree_leaves(d):
+            v.copy_to_host_async()
+    except (AttributeError, NotImplementedError):
+        pass
+    return win2, d
+
+
+def run_ba_fetch(d, extra_fetch=None) -> BAStats:
+    """Complete a dispatched BA: one batched device→host pull of the
+    packed diag (+ piggybacked extras) into host BAStats."""
+    d, extra = jax.device_get((d, extra_fetch))
+    return BAStats(
+        iterations=int(d["n_steps"]),
+        energy_initial=float(d["E0"]),
+        energy_final=float(d["E"]),
+        num_residuals=int(d["num_res"]),
+        lam_final=-1.0,
+        energy_photo=float(d["energy_photo"]),
+        idepth_hessian=np.asarray(d["H_dd"]),
+        valid_pair=np.asarray(d["valid_pair"]),
+        poses=np.asarray(d["T"], np.float64),
+        x=np.asarray(d["x"]),
+        x_zero=np.asarray(d["x_zero"]),
+        exposure=np.asarray(d["exposure"]),
+        p_valid=np.asarray(d["p_valid"]),
+        p_host=np.asarray(d["p_host"]),
+        p_idepth=np.asarray(d["p_idepth"]),
+        res_mask=np.asarray(d["res_mask"]),
+        p_uv=np.asarray(d["p_uv"]),
+        p_color=np.asarray(d["p_color"]),
+        c=np.asarray(d["c"]),
+        extra=extra,
+    )
+
+
 def run_ba(
     win: Window,
     HM: np.ndarray,               # [D, D] f64 marginalization prior (host)
@@ -341,6 +385,7 @@ def run_ba(
     anchor_slot: int = 0,         # gauge-fixed slot (oldest KF in window)
     device_loop: bool = True,     # fused device loop vs host-driven loop
     extra_fetch=None,             # extra device values to ride the ONE readback
+    timings: dict = None,         # optional: dispatch/fetch ms split
 ) -> Tuple[Window, BAStats]:
     """Windowed-BA energy-gated LM loop (reference: FullSystem::optimize).
 
@@ -352,34 +397,16 @@ def run_ba(
     host, one dispatch + readback per iteration (debug/inspection path;
     equivalence is asserted by tests/test_ba.py)."""
     if device_loop:
-        win2, d = _ba_loop_device(win, jnp.asarray(HM, jnp.float32),
-                                  jnp.asarray(bM, jnp.float32),
-                                  cfg, anchor_slot)
-        # ONE transfer for every stat (+ caller piggyback values: the KF
-        # path rides its activation stats on this same round trip)
-        d, extra = jax.device_get((d, extra_fetch))
-        stats = BAStats(
-            iterations=int(d["n_steps"]),
-            energy_initial=float(d["E0"]),
-            energy_final=float(d["E"]),
-            num_residuals=int(d["num_res"]),
-            lam_final=float(cfg.ba.lambda_initial),
-            energy_photo=float(d["energy_photo"]),
-            idepth_hessian=np.asarray(d["H_dd"]),
-            valid_pair=np.asarray(d["valid_pair"]),
-            poses=np.asarray(d["T"], np.float64),
-            x=np.asarray(d["x"]),
-            x_zero=np.asarray(d["x_zero"]),
-            exposure=np.asarray(d["exposure"]),
-            p_valid=np.asarray(d["p_valid"]),
-            p_host=np.asarray(d["p_host"]),
-            p_idepth=np.asarray(d["p_idepth"]),
-            res_mask=np.asarray(d["res_mask"]),
-            p_uv=np.asarray(d["p_uv"]),
-            p_color=np.asarray(d["p_color"]),
-            c=np.asarray(d["c"]),
-            extra=extra,
-        )
+        import time as _time
+
+        t0 = _time.perf_counter()
+        win2, d = run_ba_dispatch(win, HM, bM, cfg, anchor_slot)
+        t1 = _time.perf_counter()
+        stats = run_ba_fetch(d, extra_fetch)
+        if timings is not None:
+            t2 = _time.perf_counter()
+            timings["ba_dispatch"] = 1e3 * (t1 - t0)
+            timings["ba_fetch"] = 1e3 * (t2 - t1)
         return win2, stats
 
     F = win.num_frames

@@ -117,6 +117,13 @@ class TrackerConfig:
     max_shift_weight_r: float = 0.0
     max_shift_weight_rt: float = 0.02
     max_affine_weight: float = 2.0
+    # async-mode quality floor: a wanted keyframe may be suppressed (one
+    # KF in flight, reference: needNewKFAfter) for at most this many
+    # consecutive frames; beyond it the tracking thread WAITS for the
+    # in-flight build — bounding ref staleness (the reference's
+    # non-realtime mode blocks on every KF; preset=1 sheds freely).
+    # 0 = never block (pure throughput mode)
+    max_kf_suppress: int = 12
 
 
 @dataclasses.dataclass(frozen=True)

@@ -216,14 +216,14 @@ def compute_seed_patch(bank: Bank, seed, host_slot, dying_mask, cfg):
     rank = jnp.cumsum(acc) - 1
     take = acc & (rank < n_want)
     slot_order = jnp.argsort(valid_after)           # free slots first
-    slots = jnp.where(take, slot_order[jnp.clip(rank, 0, N - 1)], N)
-
-    def pad(a, fill=0.0):
-        T = a.shape[0]
-        if T >= N:
-            return a[:N]
-        padw = [(0, N - T)] + [(0, 0)] * (a.ndim - 1)
-        return jnp.pad(a, padw, constant_values=fill)
-
-    return (drop, pad(slots, N).astype(jnp.int32), pad(uv), pad(col),
-            pad(wgt, 1.0), pad(is_corner, False))
+    # COMPACT the accepted seeds into N rows by rank (the candidate list
+    # is C+S rows and may exceed the bank capacity; truncating its head
+    # instead of compacting starved the bank at small capacities)
+    dest = jnp.where(take, rank, N).astype(jnp.int32)   # ≥N rows dropped
+    out_slots = jnp.full((N,), N, jnp.int32).at[dest].set(
+        slot_order[jnp.clip(rank, 0, N - 1)].astype(jnp.int32), mode="drop")
+    out_uv = jnp.zeros((N, 2), jnp.float32).at[dest].set(uv, mode="drop")
+    out_col = jnp.zeros((N, 8), jnp.float32).at[dest].set(col, mode="drop")
+    out_wgt = jnp.ones((N, 8), jnp.float32).at[dest].set(wgt, mode="drop")
+    out_corner = jnp.zeros((N,), bool).at[dest].set(is_corner, mode="drop")
+    return (drop, out_slots, out_uv, out_col, out_wgt, out_corner)

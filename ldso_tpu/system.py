@@ -77,10 +77,20 @@ def _project_points_to_slot(win: Window, slot):
     uvn = jnp.stack([fx * X[..., 0] / zs + cx, fy * X[..., 1] / zs + cy], axis=-1)
     h, w = win.images.shape[1], win.images.shape[2]
     inb = in_bounds(uvn, w, h, 3.0)
-    valid = win.p_valid & okz & inb & (win.p_host != slot)
+    # residual-less points are outliers awaiting the deferred drop — a
+    # tracker ref built from the post-BA window (before _finish_kf's
+    # drop_points) must exclude them or they drag the alignment
+    valid = win.p_valid & okz & inb & (win.p_host != slot) \
+        & jnp.any(win.res_mask, axis=-1)
     color = bilinear33(win.images[slot], uvn)[..., 0]
     idep = win.p_idepth / zs
     return uvn, idep, color, valid
+
+
+@jax.jit
+def _reexpress_jit(T_last, T_prelast, T_oldref, T_newref):
+    D = lie.se3_mul(T_oldref, lie.se3_inverse(T_newref))
+    return lie.se3_mul(T_last, D), lie.se3_mul(T_prelast, D)
 
 
 @functools.partial(jax.jit, static_argnames=("outlier_sum",))
@@ -289,6 +299,7 @@ class FullSystem:
         self._ref_version = 0            # bumped at every tracker-ref swap
         self._dispatch_ref_version = 0
         self._dispatch_T_ref_np = np.eye(4)
+        self._dispatch_T_ref_dev = eye
         self._async_copy_ok = True       # device→host async copy support
         self._n_active_cache = 0         # active-point count (updated per KF)
         self.kf_ms: List[float] = []     # wall ms per keyframe build
@@ -324,6 +335,8 @@ class FullSystem:
         self._map_busy = False
         self._map_exc: Optional[BaseException] = None
         self._kf_inflight = 0         # KFs queued/being built by mapping
+        self._kf_want_streak = 0      # consecutive suppressed KF wants
+        self._kf_finish_pending = None  # deferred KF bookkeeping (see _finish_kf)
         self._map_running = True
         self._map_thread: Optional[threading.Thread] = None
         if async_mapping:
@@ -489,21 +502,23 @@ class FullSystem:
             return dict(status="pending", frame_id=fid)
         return self._track_single(fid, ts, exposure, img)
 
-    def _reexpress_carries(self, T_ref_np, ref_version):
+    def _reexpress_carries(self, T_ref_np, ref_version, T_ref_dev):
         """Ref swapped since the last dispatch → re-express the device
         prediction pair relative to the new ref WITHOUT draining the
         pipeline: T_rel_new = T_rel_old · T_oldref_cw · T_newref_cw⁻¹
-        is a pure device-side right-multiply. The relative-affine carry
-        resets to zero exactly like the per-frame path's last_rel_ab."""
+        is a pure device-side right-multiply against the EXACT device
+        ref poses (the host copies may still be tracked estimates while
+        a KF finish is pending). The relative-affine carry resets to
+        zero exactly like the per-frame path's last_rel_ab."""
         if self._dispatch_ref_version == ref_version:
             return
-        D_np = self._dispatch_T_ref_np @ np.linalg.inv(T_ref_np)
-        D_dev = jnp.asarray(D_np, jnp.float32)
-        self._T_last_rel = lie.se3_mul(self._T_last_rel, D_dev)
-        self._T_prelast_rel = lie.se3_mul(self._T_prelast_rel, D_dev)
+        self._T_last_rel, self._T_prelast_rel = _reexpress_jit(
+            self._T_last_rel, self._T_prelast_rel,
+            self._dispatch_T_ref_dev, T_ref_dev)
         self._ab_rel_dev = jnp.zeros(2, jnp.float32)
         self._dispatch_ref_version = ref_version
         self._dispatch_T_ref_np = T_ref_np
+        self._dispatch_T_ref_dev = T_ref_dev
 
     def _flush_batch(self) -> dict:
         """Dispatch the buffered frames as ONE fused track+trace program
@@ -531,7 +546,7 @@ class FullSystem:
             bank_version = self._bank_version
             T_eval, x_win, expo_win = (self.win.T_eval, self.win.x,
                                        self.win.exposure)
-        self._reexpress_carries(T_ref_np, ref_version)
+        self._reexpress_carries(T_ref_np, ref_version, T_ref_dev)
 
         imgs = np.stack([m[3] for m in meta])
         expos = np.asarray([m[2] for m in meta], np.float32)
@@ -553,7 +568,8 @@ class FullSystem:
                 out.diags.copy_to_host_async()
             except (AttributeError, NotImplementedError):
                 self._async_copy_ok = False
-        self._pending.append(("batch", meta, out, ref_kf_id, T_ref_np))
+        self._pending.append(("batch", meta, out, ref_kf_id, T_ref_np,
+                      ref_version))
         max_batches = max(1, self.pipeline_depth // self.batch_size)
         st = None
         while self._pending and (
@@ -567,13 +583,16 @@ class FullSystem:
 
     def _process_entry(self, entry) -> dict:
         if entry[0] == "single":
-            return self._process_tracked(*entry[1])
-        _, meta, out, ref_kf_id, T_ref_np = entry
+            fid, ts, expo, out, ref_kf_id, T_ref_np, ref_ver = entry[1]
+            return self._process_tracked(fid, ts, expo, out, ref_kf_id,
+                                         T_ref_np, ref_version=ref_ver)
+        _, meta, out, ref_kf_id, T_ref_np, ref_ver = entry
         diags = np.asarray(out.diags)      # the per-batch readback
         st: dict = dict(status="pending")
         for i, (fid, ts, expo, _img) in enumerate(meta):
             st = self._process_tracked(fid, ts, expo, out, ref_kf_id,
-                                       T_ref_np, diag=diags[i], batch_idx=i)
+                                       T_ref_np, diag=diags[i], batch_idx=i,
+                                       ref_version=ref_ver)
             if st.get("status") == "lost":
                 break
         return st
@@ -592,9 +611,9 @@ class FullSystem:
         # re-express in-flight prediction carries on a ref swap (the old
         # per-KF _drain_pending() flushed the whole pipeline and paid
         # full tunnel RTTs at every keyframe — the dominant stall at
-        # 25 fps). _dispatch_T_ref_np is tracking-thread-local: the ref
+        # 25 fps). _dispatch_T_ref_* is tracking-thread-local: the ref
         # pose the in-flight dispatches were actually expressed against.
-        self._reexpress_carries(T_ref_np, ref_version)
+        self._reexpress_carries(T_ref_np, ref_version, T_ref_dev)
 
         ab0 = jnp.asarray(self.last_rel_ab, jnp.float32)
         if self.pipeline_depth > 0:
@@ -612,7 +631,7 @@ class FullSystem:
         self._T_prelast_rel = self._T_last_rel
         self._T_last_rel = out.T
 
-        rec = (fid, ts, exposure, out, ref_kf_id, T_ref_np)
+        rec = (fid, ts, exposure, out, ref_kf_id, T_ref_np, ref_version)
         if self.pipeline_depth > 0:
             # deferred decision: dispatch ahead, read results late. The
             # diag's device→host copy is STARTED at dispatch
@@ -645,12 +664,13 @@ class FullSystem:
                 diags = np.asarray(jnp.stack([b[3].diag for b in batch]))
                 st = None
                 for b, diag in zip(batch, diags):
-                    st = self._process_tracked(*b, diag=diag)
+                    st = self._process_tracked(*b[:6], diag=diag,
+                                               ref_version=b[6])
                     if st.get("status") == "lost":
                         break
                 return st
             return dict(status="pending", frame_id=fid)
-        return self._process_tracked(*rec)
+        return self._process_entry(("single", rec))
 
     @staticmethod
     def _entry_ready(entry) -> bool:
@@ -698,6 +718,8 @@ class FullSystem:
         self._T_prelast_rel = jnp.asarray(T_p, jnp.float32)
         self._ab_rel_dev = jnp.zeros(2, jnp.float32)
         self._dispatch_T_ref_np = np.asarray(T_ref_cw, np.float64).copy()
+        self._dispatch_T_ref_dev = jnp.asarray(self._dispatch_T_ref_np,
+                                               jnp.float32)
         self._dispatch_ref_version = self._ref_version
 
     def _drain_pending(self):
@@ -707,7 +729,8 @@ class FullSystem:
             self._process_entry(self._pending.popleft())
 
     def _process_tracked(self, fid, ts, exposure, out, ref_kf_id,
-                         T_ref_cw, diag=None, batch_idx=None) -> dict:
+                         T_ref_cw, diag=None, batch_idx=None,
+                         ref_version=None) -> dict:
         """Consume one tracking result: lost check, trajectory record,
         KF decision, hand-off to the mapping back half."""
         import time as _time
@@ -736,14 +759,36 @@ class FullSystem:
         flow = diag[frame_step.DIAG_FLOW_T:frame_step.DIAG_FLOW_R + 1]
         delta = float(diag[frame_step.DIAG_KF_DELTA])
         need_kf = delta > 1.0 or 2.0 * self.first_coarse_rmse < rmse0
+        # stale-decision filter: this frame's flow/delta was measured
+        # against a ref that has since been REPLACED — its KF vote is
+        # about the old ref and would re-trigger a KF right after every
+        # swap (measured: 52 vs 12 KFs over 100 frames without this).
+        # Decisions restart with the first frame tracked on the new ref
+        # (reference analog: after makeKeyFrame the tracker decides on
+        # new-ref frames only — its decision lag is ~1 frame).
+        if need_kf and ref_version is not None \
+                and ref_version != self._ref_version:
+            need_kf = False
         # only one keyframe may be in flight (reference: needNewKFAfter —
         # the mapping thread works off ONE pending KF; meanwhile tracked
         # frames keep using the old ref without re-flagging)
         if need_kf and self._async and self._kf_inflight > 0:
-            need_kf = False
-            self.kf_suppressed += 1
+            self._kf_want_streak += 1
+            max_sup = cfg.tracker.max_kf_suppress
+            if max_sup > 0 and self._kf_want_streak >= max_sup:
+                # quality floor: ref staleness is bounded — wait for the
+                # in-flight KF instead of shedding yet another wanted one
+                # (reference: non-realtime mode blocks on every KF build;
+                # this is the dial between that and free shedding)
+                with self._map_cv:
+                    self._map_cv.wait_for(
+                        lambda: self._kf_inflight == 0, timeout=10.0)
+            if self._kf_inflight > 0:
+                need_kf = False
+                self.kf_suppressed += 1
         if need_kf and self._async:
             self._kf_inflight += 1
+            self._kf_want_streak = 0
 
         status = dict(status="tracked", frame_id=fid, rmse=rmse0,
                       flow=flow.tolist(), need_kf=bool(need_kf),
@@ -791,6 +836,14 @@ class FullSystem:
             exc, self._map_exc = self._map_exc, None
             raise exc
         with self._map_cv:
+            if task.need_kf:
+                # a keyframe supersedes queued non-KF trace work: drop it
+                # so the build starts immediately (reference: mappingLoop
+                # skips intermediate frames to reach the needed KF —
+                # ref staleness costs accuracy, stale traces do not)
+                for i in range(len(self._map_queue) - 1, -1, -1):
+                    if not self._map_queue[i].need_kf:
+                        del self._map_queue[i]
             self._map_queue.append(task)
             # backlog control: mapping may lag ≤3 frames; drop the oldest
             # non-KF frames first (reference: mappingLoop skip-logic), KFs
@@ -808,13 +861,23 @@ class FullSystem:
         while True:
             with self._map_cv:
                 while not self._map_queue and self._map_running:
+                    if self._kf_finish_pending is not None:
+                        # idle with a deferred KF finish: poll its copies
+                        self._map_cv.wait(0.003)
+                        break
                     self._map_cv.wait()
-                if not self._map_queue and not self._map_running:
+                if not self._map_queue and not self._map_running \
+                        and self._kf_finish_pending is None:
                     return
-                task = self._map_queue.popleft()
+                task = (self._map_queue.popleft() if self._map_queue
+                        else None)
                 self._map_busy = True
             try:
-                self._map_frame(task)
+                if task is not None:
+                    self._map_frame(task)
+                # deferred KF bookkeeping: run when its copies landed, or
+                # force it if the loop is otherwise idle / shutting down
+                self._finish_kf(wait=(task is None))
             except BaseException as e:    # surfaced on next deliver/finish
                 self._map_exc = e
             finally:
@@ -828,11 +891,13 @@ class FullSystem:
         pipelined tracking results still awaiting their readback."""
         self._drain_pending()
         if not self._async:
+            self._finish_kf(wait=True)
             self._materialize_prior()
             return
         with self._map_cv:
-            while self._map_queue or self._map_busy:
-                self._map_cv.wait()
+            while self._map_queue or self._map_busy \
+                    or self._kf_finish_pending is not None:
+                self._map_cv.wait(0.05)
         if self._map_exc is not None:
             exc, self._map_exc = self._map_exc, None
             raise exc
@@ -869,16 +934,25 @@ class FullSystem:
     def _make_keyframe(self, fid, ts, exposure, pyr, T_cw, aff_ab, status,
                        frame_rec: Optional[FrameRecord] = None,
                        traced: bool = False):
-        """ONE blocking device round trip per keyframe — the packed BA
-        readback, with the activation stats riding it. Candidate
-        activation (GN + gates + spacing + window scatter) and the seed
-        merge run ENTIRELY on device (ldso_tpu.lifecycle); every other
-        interaction is a fire-and-forget dispatch. The round-3 KF path
-        paid ~5 blocking ~28 ms tunnel round trips per keyframe
-        (snapshot pull, BA pull, seed pull, plus eager-op chains);
-        reference analog: makeKeyFrame is pure local compute
-        (FullSystem.cc:~L700)."""
+        """ZERO blocking device round trips in the build: every stage —
+        trace, window insert, device-side activation (ldso_tpu.lifecycle),
+        the fused BA loop, the candidate-seed program, and the tracker-ref
+        swap — is a fire-and-forget dispatch; the ref swap hands the
+        tracking thread DEVICE futures of the post-BA reference, so
+        frames dispatched right after the swap already track against the
+        new keyframe (ZERO ref staleness — better than the reference,
+        whose mapping thread swaps only after the full build,
+        CoarseTracker::setCoarseTrackingRef). The host bookkeeping that
+        needs the BA values (marginalization flags, pose records,
+        reseeding, loop-closure handoff) is DEFERRED to _finish_kf,
+        which runs when the async copies have landed (~1 RTT later) —
+        by construction before the next KF build starts. Reference:
+        makeKeyFrame is pure local compute (FullSystem.cc:~L700); on the
+        remote-TPU tunnel every synchronization is a ~28 ms round trip,
+        so the build/finish split is what makes KF cadence sync-like."""
         import time as _time
+
+        self._finish_kf(wait=True)       # previous KF's deferred half
         t_kf0 = _time.perf_counter()
         stage = {}
 
@@ -911,9 +985,57 @@ class FullSystem:
         seed_fut = self._dispatch_seed(pyr)
         _mark("insert")
 
-        # THE one readback: fused BA loop + activation stats
-        stats = self._run_ba(extra_fetch=act_stats)
-        _mark("ba")
+        # fused BA loop: dispatch + async diag copies, NO readback here
+        self._materialize_prior()
+        self.win, ba_diag = solve.run_ba_dispatch(
+            self.win, self.HM, self.bM, cfg,
+            anchor_slot=self._oldest_slot())
+        _mark("ba_dispatch")
+
+        # swap the tracker ref to the post-BA device state NOW
+        self._swap_tracker_ref_device(kf)
+        _mark("ref_swap")
+
+        # the KF no longer blocks decisions: cadence is sync-like
+        if self._async and self._kf_inflight > 0:
+            with self._map_cv:
+                self._kf_inflight -= 1
+                self._map_cv.notify_all()    # wakes backpressured tracking
+
+        self._kf_finish_pending = dict(
+            kf=kf, ba_diag=ba_diag, act_stats=act_stats, seed_fut=seed_fut,
+            pyr=pyr, status=status, stage=stage, t_build0=t_kf0,
+            t_build_ms=1e3 * (_time.perf_counter() - t_kf0))
+        if not self._async:
+            self._finish_kf(wait=True)
+
+    def _finish_kf(self, wait: bool):
+        """Deferred half of the keyframe build: runs once the BA diag's
+        async copies have landed (or immediately with wait=True). Host
+        bookkeeping only — marginalization decisions, prior folds
+        (themselves deferred again), pose records, candidate reseed,
+        loop-closure handoff."""
+        import time as _time
+
+        pend = self._kf_finish_pending
+        if pend is None:
+            return
+        if not wait:
+            try:
+                if not pend["ba_diag"]["x"].is_ready():
+                    return
+            except AttributeError:
+                pass
+        self._kf_finish_pending = None
+        t_fin0 = _time.perf_counter()
+        kf = pend["kf"]
+        status = pend["status"]
+        stage = pend["stage"]
+
+        stats = solve.run_ba_fetch(pend["ba_diag"],
+                                   extra_fetch=pend["act_stats"])
+        self.last_idepth_hessian = stats.idepth_hessian
+        stage["ba_fetch"] = 1e3 * (_time.perf_counter() - t_fin0)
         act = stats.extra
         n_act = int(act[lifecycle.ST_N_ACT])
         self._last_act_stats = dict(
@@ -924,6 +1046,12 @@ class FullSystem:
             n_imm_good=int(act[lifecycle.ST_N_IMM_GOOD]),
             n_imm_q=int(act[lifecycle.ST_N_IMM_Q]))
         self._refresh_kf_poses(stats.poses)
+        # exact post-BA ref pose replaces the tracked-estimate the swap
+        # installed (same ref_version: the device-side pose was exact all
+        # along; only host-side compositions used the estimate)
+        with self.state_lock:
+            if self.ref_kf == kf.kf_id:
+                self._T_ref_cw_np = stats.poses[kf.slot].copy()
 
         marg_slots = self._flag_frames_for_marginalization(stats)
         n_goners = self._remove_and_marginalize_points(stats, marg_slots)
@@ -937,16 +1065,13 @@ class FullSystem:
                       e_prior=stats.energy_final - stats.energy_photo)
         for slot in marg_slots:
             self._marginalize_frame(slot, stats)
-        _mark("marginalize")
 
         # seed + cull: one device program builds the patch args (corner/
         # gradient merge, dedup, free-slot assignment after drops); the
         # patch commits under the journal so concurrent tracing
         # write-backs can replay it
-        self._seed_new_kf(kf.slot, pyr, marg_slots, seed_fut)
-        _mark("seed")
-        self._update_tracker_ref(kf, stats)
-        _mark("ref_swap")
+        self._seed_new_kf(kf.slot, pend["pyr"], marg_slots,
+                          pend["seed_fut"])
 
         status.update(
             ba_energy=stats.energy_final, ba_iters=stats.iterations,
@@ -954,10 +1079,9 @@ class FullSystem:
             n_window=sum(k is not None for k in self.slot_kf),
             **getattr(self, "_last_act_stats", {}))
         if self.on_keyframe is not None:
-            self.on_keyframe(self, kf, pyr)
-        if self._async and self._kf_inflight > 0:
-            self._kf_inflight -= 1
-        self.kf_ms.append(1e3 * (_time.perf_counter() - t_kf0))
+            self.on_keyframe(self, kf, pend["pyr"])
+        stage["finish"] = 1e3 * (_time.perf_counter() - t_fin0)
+        self.kf_ms.append(pend["t_build_ms"] + stage["finish"])
         status["kf_ms"] = self.kf_ms[-1]
         status["kf_stage_ms"] = {k: round(v, 1) for k, v in stage.items()}
         self.kf_stage_ms.append(stage)
@@ -995,12 +1119,13 @@ class FullSystem:
                     frame_prior_delta=aff_delta)
         self._prior_pending = []
 
-    def _run_ba(self, extra_fetch=None) -> solve.BAStats:
+    def _run_ba(self, extra_fetch=None, timings=None) -> solve.BAStats:
         self._materialize_prior()
         anchor = self._oldest_slot()
         self.win, stats = solve.run_ba(self.win, self.HM, self.bM, self.cfg,
                                        anchor_slot=anchor,
-                                       extra_fetch=extra_fetch)
+                                       extra_fetch=extra_fetch,
+                                       timings=timings)
         # per-point idepth Hessian at the solution: consumers (loop
         # snapshot depth transfer, marginalize-vs-drop gate) use it as
         # the "depth actually observable" signal (reference:
@@ -1279,6 +1404,28 @@ class FullSystem:
     # ------------------------------------------------------------------
     # Tracker reference (reference: setCoarseTrackingRef + makeCoarseDepthL0)
     # ------------------------------------------------------------------
+
+    def _swap_tracker_ref_device(self, kf: KeyframeRecord):
+        """Swap the tracking reference to the post-BA DEVICE state of
+        the new keyframe — all inputs are device futures, so the swap
+        needs no readback and frames dispatched immediately after it
+        already track against the refined new KF. The host-side pose
+        bookkeeping uses the tracked estimate until _finish_kf patches
+        in the exact BA pose (device-side values are exact throughout)."""
+        slot = jnp.asarray(kf.slot)
+        uv, idep, color, valid = _project_points_to_slot(self.win, slot)
+        new_ref = tracker.make_tracker_ref(
+            uv, idep, color, valid, self.cfg.shapes.pyr_levels,
+            exposure=self.win.exposure[kf.slot],
+            aff_ab=self.win.x[kf.slot, 6:8])
+        T_ref_dev = self.win.current_pose(kf.slot)
+        with self.state_lock:
+            self.track_ref = new_ref
+            self.ref_kf = kf.kf_id
+            self._T_ref_cw_np = np.asarray(kf.T_cw, np.float64).copy()
+            self._T_ref_cw_dev = T_ref_dev
+            self._ref_version += 1
+        self.last_rel_ab = np.zeros(2, dtype=np.float32)
 
     def _update_tracker_ref(self, kf: KeyframeRecord,
                             stats: Optional[solve.BAStats] = None):

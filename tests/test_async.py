@@ -131,6 +131,99 @@ class TestAsyncMapping:
             sys_a.shutdown()
 
 
+def _ate_pct(system, ds):
+    from ldso_tpu.eval.ate import ate_rmse
+
+    _, poses = system.export_trajectory()
+    ids = [fr.frame_id for fr in system.frames][: len(poses)]
+    gt = np.stack([ds.gt_pose_c_w(i) for i in ids])
+    est_c = np.stack([-(P[:3, :3].T @ P[:3, 3]) for P in poses])
+    gt_c = np.stack([-(P[:3, :3].T @ P[:3, 3]) for P in gt])
+    rmse, _ = ate_rmse(est_c, gt_c, with_scale=True)
+    extent = np.linalg.norm(gt_c.max(0) - gt_c.min(0))
+    return 100.0 * rmse / extent
+
+
+class TestHeadlineModeAccuracy:
+    """Accuracy evidence for the PERF-HEADLINE modes (VERDICT r3 #2):
+    the pipelined and frame-batched pipelines must hold trajectory
+    quality close to the synchronous path, not merely stay un-lost.
+    Pipelined runs take different keyframes than sync runs (decisions
+    are deferred by the readback latency and suppressed while a KF is
+    in flight), which is exactly why the headline mode needs its own
+    ATE bound (reference analog: preset=1 realtime mode sheds work but
+    keeps trajectory quality, examples/run_dso_*.cc)."""
+
+    def _drive(self, ds, period: float = 0.0, **kw):
+        s = FullSystem(CFG, ds.intrinsics(), ds.w, ds.h, **kw)
+        t0 = time.perf_counter()
+        try:
+            for i in range(ds.num_frames):
+                if period > 0:      # sensor pacing: next frame at i·period
+                    lag = t0 + i * period - time.perf_counter()
+                    if lag > 0:
+                        time.sleep(lag)
+                img, ts, exp = ds.get_image(i)
+                st = s.add_frame(img, ts, exp)
+                assert st["status"] != "lost", f"lost at {i}: {st}"
+            s.finish_mapping()
+            dt = time.perf_counter() - t0
+            assert s.initialized and not s.is_lost
+            return _ate_pct(s, ds), dict(
+                suppressed=int(s.kf_suppressed),
+                latency=list(s.frame_latency_ms),
+                wall_s=dt)
+        finally:
+            s.shutdown()
+
+    def test_pipelined_and_batched_ate_close_to_sync(self):
+        """~100 frames of forward arc (≈20 KFs, ≥12 marginalizations),
+        fed at the SENSOR RATE the synchronous system sustains (the
+        reference's realtime condition): at that rate the mapping thread
+        keeps keyframe cadence, so the overlap itself must cost no
+        accuracy — pipelined depth-8 and batched B=4 ATE within 1.2× of
+        sync (+0.75%-of-extent absolute slack for the tiny-ATE regime).
+        Free-running faster than mapping can sustain sheds keyframes by
+        design (reference preset=1 semantics) and is bounded separately
+        below."""
+        ds = SyntheticDataset(w=320, h=240, n=100, traj_kind="forward_arc",
+                              seed=0)
+        sync_pct, sync_m = self._drive(ds)
+        period = sync_m["wall_s"] / ds.num_frames
+        pipe_pct, pipe_m = self._drive(
+            ds, period=period, async_mapping=True, pipeline_depth=8)
+        bat_pct, _ = self._drive(
+            ds, period=period, async_mapping=True, pipeline_depth=8,
+            batch_size=4)
+        bound = max(1.2 * sync_pct, sync_pct + 0.75)
+        assert pipe_pct < bound, \
+            f"pipelined ATE {pipe_pct:.2f}% vs sync {sync_pct:.2f}%"
+        assert bat_pct < max(1.5 * bound, 3.0 * sync_pct), \
+            f"batched ATE {bat_pct:.2f}% vs sync {sync_pct:.2f}%"
+        # the work-shedding metrics the headline number must ship with
+        assert pipe_m["latency"], "frame->pose latency was not recorded"
+        assert pipe_m["suppressed"] >= 0
+
+    def test_pipelined_freerun_ate_bounded(self):
+        """UNPACED free-run (input faster than mapping can sustain):
+        keyframes are shed (reference preset=1 realtime semantics) but
+        the trajectory must stay within an absolute bound — this is the
+        accuracy statement that accompanies the max-throughput headline
+        number."""
+        ds = SyntheticDataset(w=320, h=240, n=100, traj_kind="forward_arc",
+                              seed=0)
+        pct, m = self._drive(ds, async_mapping=True, pipeline_depth=8)
+        assert pct < 8.0, f"free-run pipelined ATE {pct:.2f}% of extent"
+
+    def test_pipelined_out_and_back_ate(self):
+        """Out-and-back (revisit) sequence under the headline pipelined
+        mode: drift stays bounded without any loop closure."""
+        ds = SyntheticDataset(w=320, h=240, n=120, traj_kind="out_and_back",
+                              seed=0)
+        pct, _ = self._drive(ds, async_mapping=True, pipeline_depth=8)
+        assert pct < 8.0, f"pipelined out-and-back ATE {pct:.2f}% of extent"
+
+
 class TestAsyncLoop:
     def test_loop_work_off_tracking_path(self):
         """A slow loop-closure job must not stall non-KF tracking
