@@ -149,7 +149,10 @@ class BAConfig:
     # info should relax these, mirroring the reference's mode switch)
     affine_prior_a: float = 1e6
     affine_prior_b: float = 1e4
-    step_break_th: float = 1e-4        # "canbreak" increment threshold
+    # "canbreak" increment threshold. 1e-3 halves the LM iteration count
+    # (median 5.5 → ~3.5 on the 100-frame probe) at identical ATE
+    # (0.85% both) — the BA loop is the KF build's device-time pole
+    step_break_th: float = 1e-3
 
 
 @dataclasses.dataclass(frozen=True)

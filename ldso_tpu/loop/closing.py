@@ -77,6 +77,8 @@ class LoopClosing:
     def __init__(self, cfg: LdsoConfig, intr,
                  vocab: Optional[bow.Vocabulary] = None,
                  train_after: int = 8):
+        import threading
+
         self.cfg = cfg
         self.intr = np.asarray(intr, np.float32)
         self.vocab = vocab
@@ -85,13 +87,22 @@ class LoopClosing:
             bow.KeyframeDatabase(vocab) if vocab is not None else None)
         self.snapshots: dict[int, KFSnapshot] = {}
         self.loops_closed: List[tuple] = []    # (kf_cur, kf_cand, S_cur_cand)
-        # consistency groups (reference: DetectLoop's mvConsistentGroups
-        # pattern — each surviving candidate carries the length of the
-        # chain of RECENT KFs that proposed overlapping loop regions)
+        # consistency groups (reference: DetectLoop's mvConsistentGroups —
+        # MULTIPLE concurrent groups, each the covisible region of a past
+        # candidate with the length of the chain of consecutive recent
+        # KFs that proposed an overlapping region; single-group tracking
+        # reset the chain whenever two true-loop regions alternated)
         self._consistent_groups: List[tuple] = []   # (frozenset[kf_id], count)
         self.rejected: List[dict] = []         # gate decisions (diagnostics)
         self._trained_on = 0                   # descriptor count at last train
         self._key = jax.random.PRNGKey(cfg.seed)
+        # vocabulary swap guard: retrains run on a background thread and
+        # swap (vocab, db, snapshot signatures) atomically under this
+        # lock — detection NEVER blocks on a retrain (the round-3 worker
+        # re-encoded the whole map inline: an O(map) detection outage
+        # exactly when loops matter)
+        self._vocab_lock = threading.Lock()
+        self._retrain_thread: Optional[threading.Thread] = None
 
     # ------------------------------------------------------------------
 
@@ -166,8 +177,10 @@ class LoopClosing:
         # lazily train the vocabulary once enough descriptors exist, and
         # RETRAIN at a larger tree size as the corpus grows (reference:
         # the 10⁶-leaf pre-trained orbvoc.dbow3 — offline here, so the
-        # tree is grown incrementally: 8³ → 10³ → 10⁴ leaves; every
-        # retrain re-encodes all snapshots and rebuilds the database)
+        # tree is grown incrementally: 8³ → 10³ → 10⁴ → 10⁵ leaves). The
+        # FIRST train is synchronous (nothing to detect with until it
+        # exists); every ladder retrain runs on a background thread and
+        # swaps in atomically — detection continues on the old tree
         if self.vocab is None:
             if len(self.snapshots) >= self.train_after:
                 self._train_vocab()
@@ -177,12 +190,20 @@ class LoopClosing:
         if n_desc >= 4 * max(self._trained_on, 1) \
                 and self._vocab_shape(n_desc) != (self.vocab.k,
                                                   self.vocab.levels):
-            self._train_vocab()
+            self._start_retrain()
 
+        with self._vocab_lock:
+            vocab, db = self.vocab, self.db
         snap.bow_vec = np.asarray(
-            bow.bow_vector(self.vocab, feats.desc, feats.valid))
+            bow.bow_vector(vocab, feats.desc, feats.valid))
         result = self._detect_and_close(system, kf, snap)
-        self.db.add(kf.kf_id, snap.bow_vec)
+        with self._vocab_lock:
+            if self.db is db:                  # no swap since the query
+                db.add(kf.kf_id, snap.bow_vec)
+            else:                              # swapped mid-detection:
+                snap.bow_vec = np.asarray(     # re-encode with the new tree
+                    bow.bow_vector(self.vocab, feats.desc, feats.valid))
+                self.db.add(kf.kf_id, snap.bow_vec)
         if result is not None and not result.get("accepted", False):
             self.rejected.append(result)
         return result
@@ -194,29 +215,75 @@ class LoopClosing:
     @staticmethod
     def _vocab_shape(n_desc: int):
         """(k, levels) ladder by corpus size — larger corpora earn finer
-        trees (reference vocabulary: k=10, L=5/6 trained on millions)."""
+        trees (reference vocabulary: k=10, L=5/6 ≈ 10⁵-10⁶ leaves,
+        trained on millions of descriptors)."""
+        if n_desc >= 300_000:
+            return 10, 5            # 10⁵ leaves (KITTI-00 scale)
         if n_desc >= 30_000:
             return 10, 4            # 10⁴ leaves
         if n_desc >= 5_000:
             return 10, 3            # 10³ leaves
         return 8, 3                 # 512 leaves (small-corpus bootstrap)
 
-    def _train_vocab(self):
+    def _collect_descs(self, snaps):
         descs, valids = [], []
-        for s in self.snapshots.values():
+        for s in snaps:
             descs.append(np.asarray(s.feats.desc))
             valids.append(np.asarray(s.feats.valid))
-        d = np.concatenate(descs)[np.concatenate(valids)]
+        return np.concatenate(descs)[np.concatenate(valids)]
+
+    def _train_vocab(self):
+        """Train + re-encode + atomic swap (called synchronously for the
+        first train, from the retrain thread afterwards)."""
+        snaps = sorted(list(self.snapshots.values()), key=lambda x: x.kf_id)
+        d = self._collect_descs(snaps)
         k, levels = self._vocab_shape(len(d))
-        self.vocab = bow.train_vocabulary(d, k=k, levels=levels,
-                                          seed=self.cfg.seed)
-        self._trained_on = len(d)
-        self.db = bow.KeyframeDatabase(self.vocab)
-        # backfill signatures for the snapshots collected so far
-        for s in sorted(self.snapshots.values(), key=lambda x: x.kf_id):
-            s.bow_vec = np.asarray(
-                bow.bow_vector(self.vocab, s.feats.desc, s.feats.valid))
-            self.db.add(s.kf_id, s.bow_vec)
+        vocab = bow.train_vocabulary(d, k=k, levels=levels,
+                                     seed=self.cfg.seed)
+        db = bow.KeyframeDatabase(vocab)
+        encoded = {}
+        for s in snaps:
+            encoded[s.kf_id] = np.asarray(
+                bow.bow_vector(vocab, s.feats.desc, s.feats.valid))
+            db.add(s.kf_id, encoded[s.kf_id])
+        with self._vocab_lock:
+            # snapshots that arrived during the (background) train get
+            # re-encoded here — a handful, not the whole map
+            for s in list(self.snapshots.values()):
+                if s.kf_id not in encoded and s.bow_vec is not None:
+                    encoded[s.kf_id] = np.asarray(
+                        bow.bow_vector(vocab, s.feats.desc, s.feats.valid))
+                    db.add(s.kf_id, encoded[s.kf_id])
+            self.vocab, self.db = vocab, db
+            self._trained_on = len(d)
+            for kid, vec in encoded.items():
+                if kid in self.snapshots:
+                    self.snapshots[kid].bow_vec = vec
+
+    def _start_retrain(self):
+        """Ladder retrain on a background thread; atomic swap at the end
+        (reference analog: the pre-trained vocabulary never retrains —
+        growing one online must not stall DetectLoop)."""
+        import threading
+
+        if self._retrain_thread is not None and self._retrain_thread.is_alive():
+            return
+
+        def worker():
+            try:
+                self._train_vocab()   # trains + re-encodes + atomic swap
+            except Exception:         # a failed retrain keeps the old tree
+                pass
+
+        self._retrain_thread = threading.Thread(
+            target=worker, name="ldso-vocab-retrain", daemon=True)
+        self._retrain_thread.start()
+
+    def finish_retrain(self):
+        """Block until a background retrain completes (tests/shutdown)."""
+        t = self._retrain_thread
+        if t is not None:
+            t.join(timeout=120.0)
 
     # ------------------------------------------------------------------
 
@@ -252,29 +319,49 @@ class LoopClosing:
                                          jnp.asarray(np.stack(neigh_vecs))))
             ref_score = float(sc.min())
         th = max(0.05, cfg.loop.min_score_rel * ref_score)
-        best = int(np.argmax(scores))
-        if scores[best] < th:
+        order = np.argsort(-np.asarray(scores))
+        cands = [(int(ids[i]), float(scores[i])) for i in order[:5]
+                 if scores[i] >= th]
+        if not cands:
             self._consistent_groups = []
             return None
-        cand_id = int(ids[best])
-        # consistency groups (reference: DetectLoop's consistency-group
-        # chains): the candidate's neighborhood (temporally adjacent KF
-        # ids — the proxy for its covisible group) must overlap a group
-        # proposed by the PREVIOUS keyframe, `consistency_window` times
-        # in a row, before geometry is even attempted
-        cand_group = frozenset(
-            c for c in range(cand_id - 3, cand_id + 4) if c in self.snapshots)
-        chain = 1
-        for grp, cnt in self._consistent_groups:
-            if cand_group & grp:
-                chain = max(chain, cnt + 1)
-        self._consistent_groups = [(cand_group, chain)]
-        if chain < cfg.loop.consistency_window:
-            return dict(candidate=cand_id, score=float(scores[best]),
-                        accepted=False, reason="consistency", chain=chain)
+        # consistency groups (reference: DetectLoop's mvConsistentGroups):
+        # EVERY above-threshold candidate's neighborhood (temporally
+        # adjacent KF ids — the proxy for its covisible group) extends
+        # any overlapping group from previous keyframes; groups not
+        # refreshed this round are pruned. A candidate whose chain
+        # reaches `consistency_window` earns a geometry check. Multiple
+        # concurrent groups let two alternating true-loop regions both
+        # mature (single-group tracking reset the chain every time the
+        # best-scoring region flipped — a recall regression).
+        new_groups: List[tuple] = []
+        ready: List[tuple] = []
+        for cand_id, sc in cands:
+            cand_group = frozenset(
+                c for c in range(cand_id - 3, cand_id + 4)
+                if c in self.snapshots)
+            chain = 1
+            for grp, cnt in self._consistent_groups:
+                if cand_group & grp:
+                    chain = max(chain, cnt + 1)
+            new_groups.append((cand_group, chain))
+            if chain >= cfg.loop.consistency_window:
+                ready.append((cand_id, sc, chain))
+        self._consistent_groups = new_groups
+        if not ready:
+            return dict(candidate=cands[0][0], score=cands[0][1],
+                        accepted=False, reason="consistency",
+                        chain=max(c for _, c in new_groups))
 
-        return self._geometric_check(system, kf, snap, cand_id,
-                                     float(scores[best]))
+        # geometry-check the matured candidates best-first; the first
+        # one that passes closes the loop (reference: CorrectLoop walks
+        # the enough-consistent candidates the same way)
+        result = None
+        for cand_id, sc, _ in ready:
+            result = self._geometric_check(system, kf, snap, cand_id, sc)
+            if result.get("accepted", False):
+                return result
+        return result
 
     def _geometric_check(self, system, kf, snap, cand_id, score):
         """PnP-first geometric verification (reference flow: matched
