@@ -160,6 +160,38 @@ def make_scene(seed: int = 0, kind: str = "corridor") -> SyntheticScene:
         ]
     elif kind == "wall":
         planes = [Plane(-ez, -3.0, ex, ey, value_noise_texture(rng))]  # single wall z=3
+    elif kind == "low_texture":
+        # adversarial (VERDICT r3 #9): a LOW-CONTRAST span on both walls
+        # and the floor for z ∈ [4, 8] — the gradient-starved stretch the
+        # reference fails on (selection density collapses, tracking must
+        # survive on the remaining texture). Wall texture coords: e2=ez,
+        # tex_scale=0.02 → z∈[4,8] ≈ texel columns 200..400 of 512.
+        def flatten_span(tex):
+            t = tex.copy()
+            t[:, 200:400] = 128.0 + 0.06 * (t[:, 200:400] - 128.0)
+            return t
+
+        planes = [
+            Plane(-ey, -1.5, ex, ez, flatten_span(value_noise_texture(rng))),
+            Plane(ex, -3.0, ey, ez, flatten_span(value_noise_texture(rng))),
+            Plane(-ex, -3.0, ey, ez, flatten_span(value_noise_texture(rng))),
+            Plane(-ez, -20.0, ex, ey, value_noise_texture(rng), 0.05),
+        ]
+    elif kind == "aliased":
+        # adversarial (VERDICT r3 #9): PERCEPTUAL ALIASING — both walls
+        # tile the SAME small texture patch with a short period (~1.3
+        # world units), so distinct places along the corridor look
+        # identical (repeating facade); loop gates must reject the
+        # aliased matches (reference failure mode: DetectLoop on
+        # repeated structures, LoopClosing.cc:~L90)
+        tile = value_noise_texture(rng, size=64, octaves=4)
+        tex = np.tile(tile, (8, 8))
+        planes = [
+            Plane(-ey, -1.5, ex, ez, value_noise_texture(rng)),
+            Plane(ex, -3.0, ey, ez, tex.copy()),
+            Plane(-ex, -3.0, ey, ez, tex.copy()),
+            Plane(-ez, -20.0, ex, ey, value_noise_texture(rng), 0.05),
+        ]
     else:
         raise ValueError(kind)
     return SyntheticScene(planes)
@@ -245,6 +277,11 @@ class SyntheticDataset:
     scene_kind: str = "corridor"
     traj_kind: str = "forward_arc"
     exposure_wobble: bool = False
+    # abrupt ±40% exposure STEPS every ~15 frames (adversarial: the
+    # smooth wobble never stresses the affine-transfer chain the way a
+    # real auto-exposure camera does; reference failure mode on TUM-Mono
+    # sequences with exposure jumps)
+    exposure_steps: bool = False
     cache: bool = True
     supersample: int = 2      # 1 = fast render (throughput benches)
 
@@ -258,9 +295,13 @@ class SyntheticDataset:
             self.w, self.h, f, f, self.w / 2 - 0.5, self.h / 2 - 0.5
         )
         self._rng = np.random.default_rng(self.seed + 1)
-        self._exposures = (
-            1.0 + 0.3 * np.sin(0.3 * np.arange(self.n)) if self.exposure_wobble else np.ones(self.n)
-        )
+        if self.exposure_steps:
+            steps = np.asarray([1.0, 1.4, 0.7, 1.2, 0.85])
+            self._exposures = steps[(np.arange(self.n) // 15) % len(steps)]
+        elif self.exposure_wobble:
+            self._exposures = 1.0 + 0.3 * np.sin(0.3 * np.arange(self.n))
+        else:
+            self._exposures = np.ones(self.n)
         self._cache = {}
 
     @property

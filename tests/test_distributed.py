@@ -168,6 +168,125 @@ class TestShardedPGO:
         assert err1 < 0.05 and err1 < 0.2 * err0
 
 
+class TestBlockPGO:
+    """Block-row-partitioned PGO with halo exchange (VERDICT r3 #6 /
+    SURVEY §5.7): per-CG-iteration collective bytes proportional to the
+    cross-block halo, not K. Equivalence vs the single-device solver at
+    K=4096 on the virtual 8-device mesh."""
+
+    def _big_graph(self, K=4096, n_loops=40, seed=0):
+        from ldso_tpu.math import lie
+        rng = np.random.default_rng(seed)
+        # ground truth: smooth 3D curve; odometry chain + random loops
+        t = np.linspace(0, 4 * np.pi, K)
+        gt = []
+        for i in range(K):
+            Twc = np.eye(4)
+            Twc[:3, :3] = np.asarray(lie.so3_exp(jnp.asarray(
+                [0.0, 0.3 * np.sin(t[i]), 0.0])))
+            Twc[:3, 3] = [np.sin(t[i]) * 5, 0.1 * t[i], t[i]]
+            gt.append(np.linalg.inv(Twc))
+        gt = np.stack(gt).astype(np.float32)
+        S = [gt[0]]
+        for i in range(1, K):
+            inc = gt[i] @ np.linalg.inv(gt[i - 1])
+            noise = np.asarray(lie.sim3_exp(jnp.asarray(
+                np.concatenate([rng.normal(0, 0.002, 6),
+                                [rng.normal(0, 0.001)]]), jnp.float32)))
+            S.append(noise @ inc @ S[-1])
+        S = np.stack(S).astype(np.float32)
+        edges = [(i, i - 1, gt[i] @ np.linalg.inv(gt[i - 1]))
+                 for i in range(1, K)]
+        for _ in range(n_loops):
+            a = int(rng.integers(K // 4, K))
+            b = int(rng.integers(0, a - K // 8))
+            edges.append((a, b, gt[a] @ np.linalg.inv(gt[b])))
+        ei = np.asarray([e[0] for e in edges], np.int32)
+        ej = np.asarray([e[1] for e in edges], np.int32)
+        S_meas = np.stack([e[2] for e in edges]).astype(np.float32)
+        w = np.ones(len(edges), np.float32)
+        fixed = np.zeros(K, bool)
+        fixed[0] = True
+        return gt, S, ei, ej, S_meas, w, fixed
+
+    def test_matches_single_device_at_4096(self):
+        from ldso_tpu.distributed import sharded_pgo
+        from ldso_tpu.loop import posegraph
+
+        K = 4096
+        gt, S, ei, ej, S_meas, w, fixed = self._big_graph(K)
+        ref = posegraph.optimize_pose_graph(
+            jnp.asarray(S), jnp.asarray(ei), jnp.asarray(ej),
+            jnp.asarray(S_meas), jnp.asarray(w), jnp.asarray(fixed),
+            lm_iters=6, cg_iters=40)
+
+        mesh = sharded_pgo.make_mesh(8)
+        part = sharded_pgo.partition_pose_graph(K, ei, ej, S_meas, w, 8)
+        # the halo is the loop structure, not the map: H ≪ B
+        assert part["H"] < part["B"] // 4, (part["H"], part["B"])
+        run = sharded_pgo.make_block_pgo(mesh, part, lm_iters=6,
+                                         cg_iters=40)
+        with mesh:
+            out = run(jnp.asarray(S), jnp.asarray(fixed))
+        # over 6 LM × 40 CG f32 iterations at K=4096 the two solvers'
+        # accept decisions can diverge on reduction-order noise, so the
+        # criterion is convergence QUALITY: the block solver must reach
+        # at least the single-device energy (within noise) and both must
+        # recover the ground-truth trajectory to the same accuracy
+        assert float(out.energy) < 1.25 * float(ref.energy) + 1e-6, \
+            (float(out.energy), float(ref.energy))
+
+        def centers(Ss):
+            R = Ss[:, :3, :3]
+            sc = np.linalg.norm(R[:, 0, :], axis=-1)[:, None, None]
+            return -np.einsum("kji,kj->ki", R / sc, Ss[:, :3, 3] / sc[:, :, 0])
+
+        gt_c = centers(gt)
+        err_ref = np.linalg.norm(centers(np.asarray(ref.S)) - gt_c,
+                                 axis=1).mean()
+        err_blk = np.linalg.norm(centers(np.asarray(out.S)) - gt_c,
+                                 axis=1).mean()
+        # parity with the single-device solver is the claim (at this CG
+        # budget information propagates ~1 preconditioned hop/iteration,
+        # so NO solver globally relaxes a 4096-chain — full relaxation
+        # is covered by the small-K circle test above)
+        assert err_blk < 1.05 * err_ref + 1e-3, (err_blk, err_ref)
+
+    def test_partition_halo_encoding(self):
+        """Partition invariants: every live edge lands in its i-owner's
+        block with a LOCAL i index; remote j endpoints resolve through
+        the exporting owner's halo table."""
+        from ldso_tpu.distributed import sharded_pgo
+
+        K, n = 64, 4
+        rng = np.random.default_rng(1)
+        ei = np.concatenate([np.arange(1, K),
+                             rng.integers(K // 2, K, 6)]).astype(np.int32)
+        ej = np.concatenate([np.arange(0, K - 1),
+                             rng.integers(0, K // 4, 6)]).astype(np.int32)
+        S_meas = np.tile(np.eye(4, dtype=np.float32), (len(ei), 1, 1))
+        w = np.ones(len(ei), np.float32)
+        part = sharded_pgo.partition_pose_graph(K, ei, ej, S_meas, w, n)
+        B, H = part["B"], part["H"]
+        assert (part["ei"] < B).all() and (part["ei"] >= 0).all()
+        # reconstruct each remote j from the halo tables and verify
+        for d in range(n):
+            for p in range(part["ei"].shape[1]):
+                if part["w"][d, p] <= 0:
+                    continue
+                enc = part["ej"][d, p]
+                gi = part["ei"][d, p] + d * B
+                if enc < B:
+                    gj = enc + d * B
+                else:
+                    o, pos = divmod(enc - B, H)
+                    assert part["halo_mask"][o, pos]
+                    gj = part["halo_out"][o, pos] + o * B
+                # the (gi, gj) pair must be one of the input edges
+                hit = ((ei == gi) & (ej == gj)).any()
+                assert hit, (gi, gj)
+
+
 class TestGraftEntry:
     def test_entry_compiles_and_runs(self):
         import sys as _s, os
