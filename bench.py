@@ -103,7 +103,8 @@ def bench_tracked_frames(n_warm: int = 30, n_timed: int = 120):
                 best = r
         return best
 
-    def _timed_pass(async_mode: bool, depth: int, batch: int, cfg_):
+    def _timed_pass(async_mode: bool, depth: int, batch: int, cfg_,
+                    period: float = 0.0):
         sys_ = FullSystem(cfg_ or cfg, ds.intrinsics(), ds.w, ds.h,
                           async_mapping=async_mode, pipeline_depth=depth,
                           batch_size=batch)
@@ -118,6 +119,10 @@ def bench_tracked_frames(n_warm: int = 30, n_timed: int = 120):
             n_lat_warm = len(sys_.frame_latency_ms)
             t0 = time.perf_counter()
             for i in range(n_warm, n_total):
+                if period > 0:   # sensor pacing: frame i arrives at i·period
+                    lag = t0 + (i - n_warm) * period - time.perf_counter()
+                    if lag > 0:
+                        time.sleep(lag)
                 img, ts, expo = frames[i]
                 t_a = time.perf_counter()
                 st = sys_.add_frame(img, ts, expo)
@@ -178,13 +183,21 @@ def bench_tracked_frames(n_warm: int = 30, n_timed: int = 120):
         return d
 
     sync = _dbg("sync", drive(False, 0))
-    pipe = _dbg("pipe", drive(True, 8, timed_passes=2))
+    pipe = _dbg("pipe", drive(True, 16, timed_passes=2))
     # frame-batched dispatch: B frames per fused program — divides the
     # round-trip-bound dispatch cost by B (frame_step.fused_batch) —
     # under the realtime preset (trace stride 2, the reference
     # preset=1's shed-work-to-hold-rate semantics)
-    batched = _dbg("batched", drive(True, 8, batch=4, cfg_=preset("realtime"),
-                                    timed_passes=2))
+    batched = _dbg("batched", drive(True, 16, batch=4,
+                                cfg_=preset("realtime"),
+                                timed_passes=2))
+    # accuracy at the reference's own operating condition: the pipelined
+    # engine fed at 30 fps sensor pacing (the realtime condition the
+    # 30 fps CPU baseline runs at). Robust to tunnel-latency state —
+    # this is the honest "does overlap cost accuracy at sensor rate"
+    # number; the unpaced ate_pct above measures max-throughput shedding
+    paced = _dbg("paced30", _timed_pass(True, 16, 1, None,
+                                        period=1.0 / 30.0))
     best = max((sync, pipe, batched), key=lambda d: d["frames_per_s"])
     best = dict(best)
     best["sync_frames_per_s"] = sync["frames_per_s"]
@@ -192,6 +205,7 @@ def bench_tracked_frames(n_warm: int = 30, n_timed: int = 120):
     best["batched_frames_per_s"] = batched["frames_per_s"]
     best["ate_pct_pipelined"] = pipe["ate_pct"]
     best["ate_pct_sync"] = sync["ate_pct"]
+    best["ate_pct_paced30"] = paced["ate_pct"]
     return best
 
 
@@ -262,6 +276,7 @@ def main():
         "kf_suppressed": tracked.get("kf_suppressed", 0),
         "ate_pct_pipelined": tracked.get("ate_pct_pipelined", -1.0),
         "ate_pct_sync": tracked.get("ate_pct_sync", -1.0),
+        "ate_pct_paced30": tracked.get("ate_pct_paced30", -1.0),
         "ba_gn_iters_per_s": round(ba_iters, 2),
         "ba_vs_baseline": round(ba_iters / BASELINE_BA_ITERS_PER_S, 2),
     }))

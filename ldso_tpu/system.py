@@ -568,14 +568,14 @@ class FullSystem:
                 out.diags.copy_to_host_async()
             except (AttributeError, NotImplementedError):
                 self._async_copy_ok = False
+        import time as _time
+
         self._pending.append(("batch", meta, out, ref_kf_id, T_ref_np,
-                      ref_version))
+                              ref_version, _time.perf_counter()))
         max_batches = max(1, self.pipeline_depth // self.batch_size)
         st = None
-        while self._pending and (
-                len(self._pending) > max_batches
-                or (self._async_copy_ok
-                    and self._entry_ready(self._pending[0]))):
+        while self._pending and self._entry_due(self._pending[0],
+                                                cap=max_batches):
             st = self._process_entry(self._pending.popleft())
             if st.get("status") == "lost":
                 return st
@@ -586,7 +586,7 @@ class FullSystem:
             fid, ts, expo, out, ref_kf_id, T_ref_np, ref_ver = entry[1]
             return self._process_tracked(fid, ts, expo, out, ref_kf_id,
                                          T_ref_np, ref_version=ref_ver)
-        _, meta, out, ref_kf_id, T_ref_np, ref_ver = entry
+        _, meta, out, ref_kf_id, T_ref_np, ref_ver = entry[:6]
         diags = np.asarray(out.diags)      # the per-batch readback
         st: dict = dict(status="pending")
         for i, (fid, ts, expo, _img) in enumerate(meta):
@@ -631,6 +631,8 @@ class FullSystem:
         self._T_prelast_rel = self._T_last_rel
         self._T_last_rel = out.T
 
+        import time as _time
+
         rec = (fid, ts, exposure, out, ref_kf_id, T_ref_np, ref_version)
         if self.pipeline_depth > 0:
             # deferred decision: dispatch ahead, read results late. The
@@ -646,12 +648,10 @@ class FullSystem:
                     out.diag.copy_to_host_async()
                 except (AttributeError, NotImplementedError):
                     self._async_copy_ok = False
-            self._pending.append(("single", rec))
+            self._pending.append(("single", rec, _time.perf_counter()))
             if self._async_copy_ok:
                 st = None
-                while self._pending and (
-                        len(self._pending) > self.pipeline_depth
-                        or self._entry_ready(self._pending[0])):
+                while self._pending and self._entry_due(self._pending[0]):
                     st = self._process_entry(self._pending.popleft())
                     if st.get("status") == "lost":
                         return st
@@ -680,6 +680,21 @@ class FullSystem:
             return entry[2].diags.is_ready()
         except AttributeError:
             return True
+
+    # oldest a deferred tracking result may get before it is read with a
+    # BLOCKING pull: the remote tunnel under continuous dispatch load can
+    # leave results unready far past their compute time, and an unbounded
+    # defer turns directly into KF-decision staleness (= accuracy)
+    MAX_DEFER_S = 0.1
+
+    def _entry_due(self, entry, cap: int = None) -> bool:
+        if len(self._pending) > (cap or self.pipeline_depth):
+            return True
+        if self._async_copy_ok and self._entry_ready(entry):
+            return True
+        import time as _time
+
+        return _time.perf_counter() - entry[-1] > self.MAX_DEFER_S
 
     def _commit_traced_bank(self, traced_bank, bank_version: int):
         """Write a traced bank back to self.bank, re-applying any bank
