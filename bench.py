@@ -24,7 +24,8 @@ BASELINE_FRAMES_PER_S = 30.0   # reference: realtime ~sensor rate on i7 CPU
 BASELINE_BA_ITERS_PER_S = 50.0  # reference: ~6 GN iters in ~120 ms per KF
 
 
-def _render_frames(n_total: int, w=640, h=480, seed=3):
+def _render_frames(n_total: int, w=640, h=480, seed=3,
+                   traj_kind="forward_arc"):
     """Pre-render the synthetic sequence, cached on disk (IO excluded
     from timing either way; the cache makes repeat runs fast).
     supersample=1: render quality is irrelevant for throughput and the
@@ -35,10 +36,12 @@ def _render_frames(n_total: int, w=640, h=480, seed=3):
     from ldso_tpu.io.synthetic import SyntheticDataset
 
     ds = SyntheticDataset(w=w, h=h, n=n_total, seed=seed,
-                          scene_kind="corridor", traj_kind="forward_arc",
+                          scene_kind="corridor", traj_kind=traj_kind,
                           supersample=1)
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         f".bench_cache_{w}x{h}_{n_total}_{seed}_ss1.npz")
+                         f".bench_cache_{w}x{h}_{n_total}_{seed}_ss1"
+                         + ("" if traj_kind == "forward_arc"
+                            else f"_{traj_kind}") + ".npz")
     if os.path.isfile(cache):
         imgs = np.load(cache)["imgs"]
         frames = [(imgs[i], float(i) * 0.05, 1.0) for i in range(n_total)]
@@ -198,15 +201,103 @@ def bench_tracked_frames(n_warm: int = 30, n_timed: int = 120):
     # number; the unpaced ate_pct above measures max-throughput shedding
     paced = _dbg("paced30", _timed_pass(True, 16, 1, None,
                                         period=1.0 / 30.0))
-    best = max((sync, pipe, batched), key=lambda d: d["frames_per_s"])
-    best = dict(best)
+
+    # HEADLINE = fastest mode subject to an ATE bound (VERDICT r4 #2):
+    # a throughput number divorced from trajectory quality is not a SLAM
+    # result. A mode qualifies if its own scale-aligned ATE is within
+    # max(1.5 x sync-mode ATE, 6% of extent); sync always qualifies
+    # (it IS the quality reference).
+    modes = dict(sync=sync, pipelined=pipe, batched=batched)
+    ate_bound = max(1.5 * max(sync["ate_pct"], 0.0), 6.0)
+    qual = {k: m for k, m in modes.items()
+            if k == "sync" or (0.0 <= m["ate_pct"] <= ate_bound
+                               and not m["lost"])}
+    head_name = max(qual, key=lambda k: qual[k]["frames_per_s"])
+    best = dict(qual[head_name])
+    best["headline_mode"] = head_name
+    best["ate_bound_pct"] = round(ate_bound, 2)
     best["sync_frames_per_s"] = sync["frames_per_s"]
     best["pipelined_frames_per_s"] = pipe["frames_per_s"]
     best["batched_frames_per_s"] = batched["frames_per_s"]
     best["ate_pct_pipelined"] = pipe["ate_pct"]
     best["ate_pct_sync"] = sync["ate_pct"]
     best["ate_pct_paced30"] = paced["ate_pct"]
+    # per-mode latency + shedding (VERDICT r4 #9): every operating
+    # condition reports its own frame->pose latency, not just the winner
+    best["per_mode"] = {
+        k: dict(fps=round(m["frames_per_s"], 2), ate_pct=m["ate_pct"],
+                latency_p50_ms=m["latency_p50_ms"],
+                latency_p99_ms=m["latency_p99_ms"],
+                kf_suppressed=m["kf_suppressed"],
+                n_keyframes=m["n_keyframes"])
+        for k, m in dict(modes, paced30=paced).items()}
+    n_kf = max(best.get("n_keyframes", 0), 1)
+    best["kf_suppressed_frac"] = round(
+        best.get("kf_suppressed", 0)
+        / max(best.get("kf_suppressed", 0) + n_kf, 1), 3)
     return best
+
+
+def bench_loop_closure(n_frames: int = 150, n_warm: int = 0):
+    """Loop closure ON the TPU bench (VERDICT r4 #3): an out-and-back
+    revisit sequence driven through the PIPELINED engine with the async
+    loop-closing worker attached vs detached. The defining LDSO
+    capability (KITTI-00: ~126 m DSO drift -> ~9.3 m with loops,
+    reference src/frontend/LoopClosing.cc + src/Map.cc) must show up as
+    an on-device ATE reduction, with detection/PGO off the tracking
+    path. fps is reported for the loop-on run but includes first-
+    execution compile costs of the loop stack; the ATE pair is the
+    metric."""
+    from ldso_tpu.config import preset
+    from ldso_tpu.eval.ate import ate_rmse
+    from ldso_tpu.loop.closing import AsyncLoopClosing
+    from ldso_tpu.system import FullSystem
+
+    cfg = preset("default")
+    ds, frames = _render_frames(n_frames, seed=5, traj_kind="out_and_back")
+    gt_c = np.stack([-(P := ds.gt_pose_c_w(i))[:3, :3].T @ P[:3, 3]
+                     for i in range(n_frames)])
+
+    def drive(loop_on: bool):
+        s = FullSystem(cfg, ds.intrinsics(), ds.w, ds.h,
+                       async_mapping=True, pipeline_depth=16)
+        lc = None
+        if loop_on:
+            lc = AsyncLoopClosing(cfg, ds.intrinsics(), train_after=4)
+            s.on_keyframe = lc.on_keyframe
+            s.loop_closing = lc
+        t0 = time.perf_counter()
+        try:
+            for i in range(n_frames):
+                st = s.add_frame(*frames[i])
+                if st.get("status") == "lost":
+                    break
+            s.finish_mapping()
+            if lc is not None:
+                lc.finish()
+            dt = time.perf_counter() - t0
+            _, poses = s.export_trajectory()
+            ids = [fr.frame_id for fr in s.frames][: len(poses)]
+            est_c = np.stack([-(P[:3, :3].T @ P[:3, 3]) for P in poses])
+            g = gt_c[ids]
+            rmse, _ = ate_rmse(est_c, g, with_scale=True)
+            extent = float(np.linalg.norm(g.max(0) - g.min(0)))
+            return dict(
+                ate_pct=round(100.0 * rmse / max(extent, 1e-9), 2),
+                fps=round((len(poses)) / dt, 2),
+                n_keyframes=len(s.kfs),
+                n_loops=len(lc.loops_closed) if lc else 0,
+                lost=bool(s.is_lost))
+        finally:
+            if lc is not None:
+                lc.shutdown()
+            s.shutdown()
+
+    off = drive(False)
+    on = drive(True)
+    return dict(ate_pct_loop_off=off["ate_pct"], ate_pct_loop_on=on["ate_pct"],
+                loop_fps=on["fps"], loop_off_fps=off["fps"],
+                n_loops=on["n_loops"], loop_lost=on["lost"] or off["lost"])
 
 
 def bench_ba_iters():
@@ -256,12 +347,18 @@ def bench_ba_iters():
 
 def main():
     tracked = bench_tracked_frames()
+    loop = bench_loop_closure()
     ba_iters = bench_ba_iters()
     print(json.dumps({
         "metric": "tracked_frames_per_s",
+        # headline fps carries its OWN accuracy qualification: the
+        # fastest mode whose ate_pct <= max(1.5 x sync ATE, 6%)
         "value": round(tracked["frames_per_s"], 2),
         "unit": "frame/s",
         "vs_baseline": round(tracked["frames_per_s"] / BASELINE_FRAMES_PER_S, 2),
+        "headline_mode": tracked["headline_mode"],
+        "headline_ate_pct": tracked["ate_pct"],
+        "ate_bound_pct": tracked["ate_bound_pct"],
         "sync_fps": round(tracked["sync_frames_per_s"], 2),
         "pipelined_fps": round(tracked["pipelined_frames_per_s"], 2),
         "batched_fps": round(tracked["batched_frames_per_s"], 2),
@@ -274,9 +371,12 @@ def main():
         "latency_p50_ms": tracked.get("latency_p50_ms", -1.0),
         "latency_p99_ms": tracked.get("latency_p99_ms", -1.0),
         "kf_suppressed": tracked.get("kf_suppressed", 0),
+        "kf_suppressed_frac": tracked.get("kf_suppressed_frac", -1.0),
         "ate_pct_pipelined": tracked.get("ate_pct_pipelined", -1.0),
         "ate_pct_sync": tracked.get("ate_pct_sync", -1.0),
         "ate_pct_paced30": tracked.get("ate_pct_paced30", -1.0),
+        "per_mode": tracked.get("per_mode", {}),
+        **loop,
         "ba_gn_iters_per_s": round(ba_iters, 2),
         "ba_vs_baseline": round(ba_iters / BASELINE_BA_ITERS_PER_S, 2),
     }))

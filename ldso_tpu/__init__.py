@@ -33,6 +33,13 @@ def _setup_compile_cache():
     """
     if _os.environ.get("LDSO_NO_COMPILE_CACHE"):
         return
+    # CPU backends get NO persistent cache: XLA:CPU AOT entries embed
+    # host machine features (avx512/amx), and reloading them on a
+    # different host sprays "machine features don't match" warnings over
+    # every run (seen in the multichip dryrun tails, VERDICT r4 weak #6)
+    # while saving nothing (CPU compiles are fast).
+    if "cpu" in _os.environ.get("JAX_PLATFORMS", "").lower():
+        return
     try:
         import jax
 

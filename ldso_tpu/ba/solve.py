@@ -289,20 +289,90 @@ def _ba_loop_device(win: Window, HM, bM, cfg: LdsoConfig, anchor_slot: int):
     outlier_pair = sys.e_pair > (cfg.ba.outlier_th * 8.0)
     win = win._replace(res_mask=win.res_mask & ~sys.oob_pair & ~outlier_pair)
 
+    # device-side point retirement (VERDICT r4 #1 — flagPointsForRemoval's
+    # drop branch moved IN-PROGRAM): points that lost every residual AND
+    # fail the marginalize gates (idepth Hessian, maxRelBaseline — they
+    # would be dropped, not folded, reference: PointHessian::
+    # flag_nomarginalize path) are freed HERE, so their bank capacity is
+    # back before the next keyframe's activation instead of one deferred
+    # finish later. The fold-worthy remainder stays valid (zero
+    # residuals = zero BA influence) until the host's deferred finish
+    # folds it into the f64 prior. `junk` rides the diag so the host
+    # skips these rows in its own drop (a slot freed here may already
+    # hold a NEW point by the time the finish runs).
+    T_fin = lie.se3_mul(lie.se3_exp(x[:, :6]), win.T_eval)
+    res_rows = jnp.sum(win.res_mask, axis=1)
+    no_res = win.p_valid & (res_rows == 0)
+    C_all = -jnp.einsum("fji,fj->fi", T_fin[:, :3, :3], T_fin[:, :3, 3],
+                        precision=_HI)                       # camera centers
+    dist = jnp.linalg.norm(C_all[win.p_host][:, None, :] - C_all[None, :, :],
+                           axis=-1)                          # [P, F]
+    rel_b = jnp.max(jnp.where(win.res_mask, dist, 0.0), axis=1) * pid
+    fold_worthy = (sys.H_dd > cfg.ba.min_idepth_hessian) \
+        & (rel_b > cfg.ba.min_rel_baseline)
+    junk = no_res & ~fold_worthy
+
+    # the ENTIRE diag packs into ONE flat f32 vector: the deferred
+    # finish's fetch is then a single device→host transfer instead of
+    # ~20 per-array pulls — on the remote tunnel each pull is a round
+    # trip, and the multi-array fetch measured 70-350 ms of mapping-
+    # thread time per keyframe (the round-5 suppression driver). The
+    # [P,F] bool masks ride as per-point bit-fields (F ≤ 23 keeps them
+    # exact in f32).
+    bits = jnp.asarray(1 << np.arange(F), jnp.float32)
     diag = dict(n_steps=n_steps, E0=E0, E=E, num_res=sys.num_res,
                 energy_photo=sys.energy, H_dd=sys.H_dd,
-                valid_pair=sys.valid_pair,
+                valid_pair_bits=jnp.sum(
+                    sys.valid_pair.astype(jnp.float32) * bits, axis=1),
                 # post-BA window state the host KF path needs — packed
                 # into the SAME readback so flagging/marginalization/
                 # tracker-ref rebuild pay zero extra round trips
-                T=lie.se3_mul(lie.se3_exp(x[:, :6]), win.T_eval),
+                T=T_fin,
                 x=x, x_zero=win.x_zero, exposure=win.exposure,
+                # pre-drop snapshot: the host finish's flagging/fold/
+                # archive logic sees the same window the BA solved
                 p_valid=win.p_valid, p_host=win.p_host,
-                p_idepth=pid, res_mask=win.res_mask,
+                p_idepth=pid,
+                res_mask_bits=jnp.sum(
+                    win.res_mask.astype(jnp.float32) * bits, axis=1),
+                junk=junk,
                 # global-map snapshot inputs (reference: the exposed
                 # Point layer persists past marginalization, src/Map.cc)
                 p_uv=win.p_uv, p_color=win.p_color[:, 4], c=c)
-    return win, diag
+    flat = jnp.concatenate(
+        [jnp.ravel(diag[name]).astype(jnp.float32)
+         for name, _shape in _diag_layout(win.num_points, F)])
+    win = win._replace(p_valid=win.p_valid & ~junk,
+                       res_mask=win.res_mask & ~junk[:, None])
+    return win, flat
+
+
+def _diag_layout(P: int, F: int):
+    """(name, shape) layout of the packed BA diag vector, in pack order."""
+    return [
+        ("n_steps", ()), ("E0", ()), ("E", ()), ("num_res", ()),
+        ("energy_photo", ()), ("H_dd", (P,)), ("valid_pair_bits", (P,)),
+        ("T", (F, 4, 4)), ("x", (F, 8)), ("x_zero", (F, 8)),
+        ("exposure", (F,)), ("p_valid", (P,)), ("p_host", (P,)),
+        ("p_idepth", (P,)), ("res_mask_bits", (P,)), ("junk", (P,)),
+        ("p_uv", (P, 2)), ("p_color", (P,)), ("c", (4,)),
+    ]
+
+
+def _diag_unpack(flat: np.ndarray, P: int, F: int) -> dict:
+    out = {}
+    o = 0
+    for name, shape in _diag_layout(P, F):
+        n = int(np.prod(shape)) if shape else 1
+        v = flat[o:o + n]
+        out[name] = v.reshape(shape) if shape else v[0]
+        o += n
+    assert o == flat.size, (o, flat.size)
+    bits = (1 << np.arange(F)).astype(np.int64)
+    for k in ("valid_pair_bits", "res_mask_bits"):
+        out[k.replace("_bits", "")] = (
+            out.pop(k).astype(np.int64)[:, None] & bits[None, :]) != 0
+    return out
 
 
 class BAStats(NamedTuple):
@@ -330,29 +400,36 @@ class BAStats(NamedTuple):
     p_uv: object = None               # np [P, 2] host-frame pixel coords
     p_color: object = None            # np [P] center-pattern intensity
     c: object = None                  # np [4] post-BA intrinsics
+    # points already retired IN-PROGRAM by the device BA tail (no
+    # residuals + fail the marginalize gates) — the host finish must
+    # NOT re-drop these rows (they may hold new points by then)
+    junk: object = None               # np bool [P]
     extra: object = None              # caller piggyback (rides the readback)
 
 
 def run_ba_dispatch(win: Window, HM, bM, cfg: LdsoConfig,
                     anchor_slot: int = 0):
-    """Dispatch the fused device BA loop and START the async copies of
-    its packed diag; returns (post-BA window [device], diag handle).
-    Pair with :func:`run_ba_fetch` — the split lets the conductor defer
-    the readback past the tracker-ref swap (deferred-finish KF path)."""
-    win2, d = _ba_loop_device(win, jnp.asarray(HM, jnp.float32),
-                              jnp.asarray(bM, jnp.float32), cfg, anchor_slot)
+    """Dispatch the fused device BA loop and START the async copy of
+    its packed single-vector diag; returns (post-BA window [device],
+    diag handle [device f32 vector]). Pair with :func:`run_ba_fetch` —
+    the split lets the conductor defer the readback past the tracker-ref
+    swap (deferred-finish KF path)."""
+    win2, flat = _ba_loop_device(win, jnp.asarray(HM, jnp.float32),
+                                 jnp.asarray(bM, jnp.float32), cfg,
+                                 anchor_slot)
     try:
-        for v in jax.tree_util.tree_leaves(d):
-            v.copy_to_host_async()
+        flat.copy_to_host_async()
     except (AttributeError, NotImplementedError):
         pass
-    return win2, d
+    return win2, flat
 
 
-def run_ba_fetch(d, extra_fetch=None) -> BAStats:
-    """Complete a dispatched BA: one batched device→host pull of the
-    packed diag (+ piggybacked extras) into host BAStats."""
-    d, extra = jax.device_get((d, extra_fetch))
+def run_ba_fetch(flat, shape, extra_fetch=None) -> BAStats:
+    """Complete a dispatched BA: ONE device→host pull of the packed diag
+    vector (+ piggybacked extras), unpacked into host BAStats.
+    ``shape``: (P, F) = (max_points, max_frames)."""
+    flat_np, extra = jax.device_get((flat, extra_fetch))
+    d = _diag_unpack(np.asarray(flat_np), *shape)
     return BAStats(
         iterations=int(d["n_steps"]),
         energy_initial=float(d["E0"]),
@@ -366,13 +443,14 @@ def run_ba_fetch(d, extra_fetch=None) -> BAStats:
         x=np.asarray(d["x"]),
         x_zero=np.asarray(d["x_zero"]),
         exposure=np.asarray(d["exposure"]),
-        p_valid=np.asarray(d["p_valid"]),
-        p_host=np.asarray(d["p_host"]),
+        p_valid=np.asarray(d["p_valid"]) > 0.5,
+        p_host=np.asarray(d["p_host"]).astype(np.int32),
         p_idepth=np.asarray(d["p_idepth"]),
         res_mask=np.asarray(d["res_mask"]),
         p_uv=np.asarray(d["p_uv"]),
         p_color=np.asarray(d["p_color"]),
         c=np.asarray(d["c"]),
+        junk=np.asarray(d["junk"]) > 0.5,
         extra=extra,
     )
 
@@ -402,7 +480,8 @@ def run_ba(
         t0 = _time.perf_counter()
         win2, d = run_ba_dispatch(win, HM, bM, cfg, anchor_slot)
         t1 = _time.perf_counter()
-        stats = run_ba_fetch(d, extra_fetch)
+        stats = run_ba_fetch(d, (win.num_points, win.num_frames),
+                             extra_fetch)
         if timings is not None:
             t2 = _time.perf_counter()
             timings["ba_dispatch"] = 1e3 * (t1 - t0)

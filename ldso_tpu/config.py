@@ -53,7 +53,12 @@ class Shapes:
     """Static capacities — every device array shape derives from these."""
 
     pyr_levels: int = 5              # reference: PYR_LEVELS=6, pyrLevelsUsed≈5
-    max_frames: int = 8              # window slots (reference keeps ≤7 KFs)
+    # window slots. max_kf (7, reference setting_maxFrames) + 3 spares:
+    # the deferred-finish keyframe path may leave up to ~3 keyframes'
+    # marginalization bookkeeping in flight (their BA readbacks ride the
+    # device tunnel, ~1 RTT each) — spare slots let the NEXT keyframe
+    # insert without ever blocking on a readback (VERDICT r4 #1)
+    max_frames: int = 10
     max_points: int = 2048           # active point bank capacity
     max_immature: int = 2048         # immature (candidate) point capacity
     # epipolar search discretization: 32 samples over the clamped
@@ -124,6 +129,14 @@ class TrackerConfig:
     # non-realtime mode blocks on every KF; preset=1 sheds freely).
     # 0 = never block (pure throughput mode)
     max_kf_suppress: int = 12
+    # staleness bound on KF shedding (VERDICT r4 #2): a wanted keyframe
+    # may be suppressed only while the tracked frame's KF-decision score
+    # (delta — flow+affine change integrated against the CURRENT ref,
+    # the exact quantity whose growth measures ref staleness) stays
+    # below this; beyond it the tracking thread waits for the in-flight
+    # build. delta > 1.0 triggers a KF want, so 2.2 bounds overshoot at
+    # ~2.2x the decision threshold regardless of frame rate.
+    max_stale_delta: float = 2.2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -264,7 +277,7 @@ def preset(name: str = "default") -> LdsoConfig:
     if name == "tiny":  # for tests: small capacities, fast compiles
         return base.replace(
             shapes=Shapes(
-                pyr_levels=4, max_frames=5, max_points=256, max_immature=256,
+                pyr_levels=4, max_frames=7, max_points=256, max_immature=256,
                 epi_samples=32, track_points=512, init_points=256,
                 init_neighbors=5, num_hypotheses=5,
             ),

@@ -141,6 +141,16 @@ def drop_rows(bank: Bank, mask) -> Bank:
     return bank._replace(valid=bank.valid & ~mask)
 
 
+@jax.jit
+def drop_hosted(bank: Bank, dying_mask) -> Bank:
+    """Invalidate candidates hosted by dying window slots
+    (``dying_mask`` [F] bool). The deferred-finish KF path commits this
+    as its own journaled patch: seeds go in at BUILD time (so tracing
+    starts immediately), the marginalization cull lands one readback
+    later when the frame flags are known."""
+    return bank._replace(valid=bank.valid & ~dying_mask[bank.host_slot])
+
+
 def from_host(hb: HostBank) -> Bank:
     return Bank(
         valid=jnp.asarray(hb.valid),

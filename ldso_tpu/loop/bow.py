@@ -185,10 +185,19 @@ class KeyframeDatabase:
     def __post_init__(self):
         self._vecs: List[np.ndarray] = []
         self._kf_ids: List[int] = []
+        self._id_set: set = set()
 
     def add(self, kf_id: int, bow_vec) -> None:
+        """Idempotent per kf_id: a vocabulary swap landing mid-detection
+        can try to insert the in-flight keyframe twice (once from the
+        retrain backfill, once from the detection tail) — duplicate rows
+        would yield duplicate loop candidates and double geometry checks
+        (advisor r4)."""
+        if kf_id in self._id_set:
+            return
         self._vecs.append(np.asarray(bow_vec))
         self._kf_ids.append(kf_id)
+        self._id_set.add(kf_id)
 
     def __len__(self) -> int:
         return len(self._kf_ids)

@@ -103,6 +103,9 @@ class LoopClosing:
         # exactly when loops matter)
         self._vocab_lock = threading.Lock()
         self._retrain_thread: Optional[threading.Thread] = None
+        # failed background retrains, (exc_name, traceback) — surfaced to
+        # tests/operators instead of silently keeping the old tree
+        self.retrain_errors: List[tuple] = []
 
     # ------------------------------------------------------------------
 
@@ -172,7 +175,8 @@ class LoopClosing:
         X, ok = _assign_depth(uv_np, pt_uv, pt_idep, pt_valid, self.intr)
         ok &= np.asarray(feats.valid)
         snap = KFSnapshot(kf.kf_id, feats, None, X, ok)
-        self.snapshots[kf.kf_id] = snap
+        with self._vocab_lock:       # retrain thread iterates snapshots
+            self.snapshots[kf.kf_id] = snap
 
         # lazily train the vocabulary once enough descriptors exist, and
         # RETRAIN at a larger tree size as the corpus grows (reference:
@@ -235,7 +239,11 @@ class LoopClosing:
     def _train_vocab(self):
         """Train + re-encode + atomic swap (called synchronously for the
         first train, from the retrain thread afterwards)."""
-        snaps = sorted(list(self.snapshots.values()), key=lambda x: x.kf_id)
+        # snapshot list copied UNDER the lock: the detection thread
+        # inserts concurrently, and list(dict.values()) during a resize
+        # can raise RuntimeError (advisor r4)
+        with self._vocab_lock:
+            snaps = sorted(self.snapshots.values(), key=lambda x: x.kf_id)
         d = self._collect_descs(snaps)
         k, levels = self._vocab_shape(len(d))
         vocab = bow.train_vocabulary(d, k=k, levels=levels,
@@ -272,8 +280,13 @@ class LoopClosing:
         def worker():
             try:
                 self._train_vocab()   # trains + re-encodes + atomic swap
-            except Exception:         # a failed retrain keeps the old tree
-                pass
+            except Exception as e:    # a failed retrain keeps the old tree
+                # recorded, not swallowed: a silent cancel would also
+                # hide genuine training bugs (advisor r4)
+                import traceback
+
+                self.retrain_errors.append(
+                    (type(e).__name__, traceback.format_exc()))
 
         self._retrain_thread = threading.Thread(
             target=worker, name="ldso-vocab-retrain", daemon=True)

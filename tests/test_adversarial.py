@@ -10,6 +10,8 @@ accept an aliased match.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-sequence drives; fast CI = -m 'not slow'
+
 from ldso_tpu.config import preset
 from ldso_tpu.io.synthetic import SyntheticDataset
 from ldso_tpu.system import FullSystem

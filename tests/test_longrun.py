@@ -19,6 +19,8 @@ check, in CI, on the synthetic renderer:
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-sequence drives; fast CI = -m 'not slow'
+
 from ldso_tpu.config import preset
 from ldso_tpu.eval.ate import ate_rmse
 from ldso_tpu.io.synthetic import SyntheticDataset

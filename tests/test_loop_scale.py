@@ -22,6 +22,8 @@ import time
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # full-sequence drives; fast CI = -m 'not slow'
 import jax.numpy as jnp
 
 from ldso_tpu.config import preset
