@@ -150,14 +150,18 @@ def bench_tracked_frames(n_warm: int = 30, n_timed: int = 120):
             # fraction of trajectory extent — the headline perf number
             # must come with its accuracy, VERDICT r3 #2)
             ts_out, poses = sys_.export_trajectory()
-            ate_pct = -1.0
+            ate_pct, drift = -1.0, {}
             if len(poses) > 3:
+                from ldso_tpu.eval.ate import drift_per_distance
+
                 ids = [fr.frame_id for fr in sys_.frames][: len(poses)]
                 est_c = np.stack([-(P[:3, :3].T @ P[:3, 3]) for P in poses])
                 gtc = np.stack([gt_c[i] for i in ids])
                 rmse, _ = ate_rmse(est_c, gtc, with_scale=True)
                 extent = float(np.linalg.norm(gtc.max(0) - gtc.min(0)))
                 ate_pct = 100.0 * rmse / max(extent, 1e-9)
+                drift = {str(k): v for k, v in
+                         drift_per_distance(est_c, gtc).items()}
             return dict(
                 frames_per_s=n_done / dt,
                 n_frames=n_done,
@@ -173,6 +177,7 @@ def bench_tracked_frames(n_warm: int = 30, n_timed: int = 120):
                 if len(lat) else -1.0,
                 kf_suppressed=int(sys_.kf_suppressed),
                 ate_pct=round(ate_pct, 2),
+                drift_pct=drift,
             )
         finally:
             sys_.shutdown()
@@ -201,13 +206,22 @@ def bench_tracked_frames(n_warm: int = 30, n_timed: int = 120):
     # number; the unpaced ate_pct above measures max-throughput shedding
     paced = _dbg("paced30", _timed_pass(True, 16, 1, None,
                                         period=1.0 / 30.0))
+    # sensor-rate ladder: the engine fed at 2-4x the reference's rate.
+    # A paced-at-R run that holds the ATE bound IS an R fps tracked
+    # result — and unlike free-run it keeps pipeline slack, so KF
+    # decisions stay fresh (free-run keeps the pipeline full and turns
+    # the tunnel RTT into maximal decision staleness).
+    ladder = {f"paced{r}": _dbg(f"paced{r}",
+                                _timed_pass(True, 16, 1, None,
+                                            period=1.0 / r))
+              for r in (60, 90, 120)}
 
     # HEADLINE = fastest mode subject to an ATE bound (VERDICT r4 #2):
     # a throughput number divorced from trajectory quality is not a SLAM
     # result. A mode qualifies if its own scale-aligned ATE is within
     # max(1.5 x sync-mode ATE, 6% of extent); sync always qualifies
     # (it IS the quality reference).
-    modes = dict(sync=sync, pipelined=pipe, batched=batched)
+    modes = dict(sync=sync, pipelined=pipe, batched=batched, **ladder)
     ate_bound = max(1.5 * max(sync["ate_pct"], 0.0), 6.0)
     qual = {k: m for k, m in modes.items()
             if k == "sync" or (0.0 <= m["ate_pct"] <= ate_bound
@@ -222,6 +236,9 @@ def bench_tracked_frames(n_warm: int = 30, n_timed: int = 120):
     best["ate_pct_pipelined"] = pipe["ate_pct"]
     best["ate_pct_sync"] = sync["ate_pct"]
     best["ate_pct_paced30"] = paced["ate_pct"]
+    # drift-per-distance of the QUALITY reference mode (VERDICT r4 #7:
+    # where does error accumulate, not just how much)
+    best["drift_pct_sync"] = sync.get("drift_pct", {})
     # per-mode latency + shedding (VERDICT r4 #9): every operating
     # condition reports its own frame->pose latency, not just the winner
     best["per_mode"] = {
@@ -376,6 +393,7 @@ def main():
         "ate_pct_sync": tracked.get("ate_pct_sync", -1.0),
         "ate_pct_paced30": tracked.get("ate_pct_paced30", -1.0),
         "per_mode": tracked.get("per_mode", {}),
+        "drift_pct_sync": tracked.get("drift_pct_sync", {}),
         **loop,
         "ba_gn_iters_per_s": round(ba_iters, 2),
         "ba_vs_baseline": round(ba_iters / BASELINE_BA_ITERS_PER_S, 2),

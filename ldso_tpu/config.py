@@ -122,13 +122,13 @@ class TrackerConfig:
     max_shift_weight_r: float = 0.0
     max_shift_weight_rt: float = 0.02
     max_affine_weight: float = 2.0
-    # async-mode quality floor: a wanted keyframe may be suppressed (one
-    # KF in flight, reference: needNewKFAfter) for at most this many
-    # consecutive frames; beyond it the tracking thread WAITS for the
-    # in-flight build — bounding ref staleness (the reference's
-    # non-realtime mode blocks on every KF; preset=1 sheds freely).
-    # 0 = never block (pure throughput mode)
-    max_kf_suppress: int = 12
+    # secondary count-based cap on consecutive suppressed KF wants
+    # (0 = disabled, the default since round 5): at remote-tunnel frame
+    # rates a single readback-lag window spans many frames, so a count
+    # cap fires on tunnel state rather than scene change — the
+    # scene-unit staleness bound below is the quality floor
+    # (VERDICT r4 #2).
+    max_kf_suppress: int = 0
     # staleness bound on KF shedding (VERDICT r4 #2): a wanted keyframe
     # may be suppressed only while the tracked frame's KF-decision score
     # (delta — flow+affine change integrated against the CURRENT ref,

@@ -63,24 +63,37 @@ def _local_gn_step(win: Window, HM, bM, prior_d, scale_vec, fixed, lam,
     H_sc = jnp.matmul(sys.H_xd.T, sys.H_xd * inv_dd[:, None], precision=_HI)
     b_sc = jnp.matmul(sys.H_xd.T, sys.b_d * inv_dd, precision=_HI)
 
-    # ONE collective: stacked (H, H_sc) + (b, b_sc, energy) psum — over
-    # ICI on a 1-D mesh, hierarchically ICI-then-DCN on a (dcn, ici) mesh
-    HH = jax.lax.psum(jnp.stack([sys.H, H_sc]), axes)
-    bb = jax.lax.psum(jnp.concatenate([sys.b, b_sc,
-                                       sys.energy[None]]), axes)
+    # ONE collective of D² + 2D + 1 floats. The solver needs ΣH and
+    # ΣH_sc separately ONLY on the diagonal (damping multiplies the
+    # undamped total diagonal BEFORE the Schur subtraction), so the
+    # payload carries the combined M = Σ(H − H_sc) plus diag(ΣH) — the
+    # Schur diagonal is then dH − diag(M) — instead of both full
+    # matrices (the round-4 [2,D,D] stack: 2× the bytes, caught by the
+    # round-5 HLO cross-check, scripts/project_scaling.py).
     D = sys.H.shape[0]
-    b_sum, bsc_sum, E = bb[:D], bb[D:2 * D], bb[2 * D]
+    payload = jnp.concatenate([
+        (sys.H - H_sc).ravel(),
+        jnp.diagonal(sys.H),
+        sys.b - b_sc,
+        sys.energy[None],
+    ])
+    tot = jax.lax.psum(payload, axes)
+    M = tot[: D * D].reshape(D, D)
+    dH = tot[D * D: D * D + D]
+    b_comb = tot[D * D + D: D * D + 2 * D]
+    E = tot[-1]
 
     # replicated tiny solve (every device computes the same dx); damping
     # order matches the single-device solver (_solve_core): damp the
     # undamped total diagonal, THEN subtract the Schur term
     from ldso_tpu.ba.solve import prior_offset
 
-    H = HH[0] + HM + jnp.diag(prior_d)
-    b = (b_sum + bM + jnp.matmul(HM, delta, precision=_HI)
-         + prior_d * (delta + prior_offset(win))   # absolute affine prior
-         - bsc_sum)
-    H = H.at[jnp.arange(D), jnp.arange(D)].multiply(1.0 + lam) - HH[1]
+    H = M + HM + jnp.diag(prior_d)
+    b = (b_comb + bM + jnp.matmul(HM, delta, precision=_HI)
+         + prior_d * (delta + prior_offset(win)))  # absolute affine prior
+    diag_f = ((dH + jnp.diagonal(HM) + prior_d) * (1.0 + lam)
+              - (dH - jnp.diagonal(M)))
+    H = H.at[jnp.arange(D), jnp.arange(D)].set(diag_f)
     H = jnp.where(fixed[:, None] | fixed[None, :], 0.0, H)
     H = H.at[jnp.arange(D), jnp.arange(D)].add(jnp.where(fixed, 1.0, 0.0))
     b = jnp.where(fixed, 0.0, b)
@@ -137,6 +150,9 @@ def make_distributed_ba_step(mesh: Mesh, cfg: LdsoConfig,
                     jnp.asarray(bM, jnp.float32), prior_d,
                     jnp.float32(lam))
 
+    # the inner jitted step, exposed so tooling can .lower() it and read
+    # the compiled collectives (scripts/project_scaling.py HLO crosscheck)
+    full.jitted = step
     return full
 
 

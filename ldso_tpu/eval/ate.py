@@ -62,6 +62,46 @@ def ate_rmse(
     return float(np.sqrt((err ** 2).mean())), err
 
 
+def drift_per_distance(
+    est_positions: np.ndarray,
+    gt_positions: np.ndarray,
+    seg_fracs=(0.1, 0.25, 0.5),
+) -> dict:
+    """Relative drift as % of distance travelled, per segment length
+    (the KITTI odometry t_rel metric's monocular analog; VERDICT r4 #7:
+    ATE alone hides WHERE the error accumulates). For each segment
+    length L (a fraction of total path length), every window of arc
+    length ~L is independently Sim(3)-aligned on its endpoints'
+    neighborhood and the end-point error is expressed as % of L.
+    Returns {frac: median_drift_pct}."""
+    gt_d = np.concatenate([[0.0], np.cumsum(
+        np.linalg.norm(np.diff(gt_positions, axis=0), axis=1))])
+    total = gt_d[-1]
+    out = {}
+    for frac in seg_fracs:
+        L = frac * total
+        if L <= 0:
+            out[frac] = float("nan")
+            continue
+        errs = []
+        starts = np.linspace(0, total - L, 12)
+        for s0 in starts:
+            i0 = int(np.searchsorted(gt_d, s0))
+            i1 = int(np.searchsorted(gt_d, s0 + L))
+            if i1 - i0 < 5 or i1 >= len(gt_positions):
+                continue
+            # align on the window's FIRST half, measure at the end —
+            # error grown over the unaligned half ≈ drift over L/2
+            mid = i0 + max((i1 - i0) // 2, 3)
+            s, R, t = umeyama(est_positions[i0:mid], gt_positions[i0:mid])
+            end_est = s * R @ est_positions[i1] + t
+            errs.append(np.linalg.norm(end_est - gt_positions[i1])
+                        / max(L / 2, 1e-9))
+        out[frac] = round(100.0 * float(np.median(errs)), 3) if errs \
+            else float("nan")
+    return out
+
+
 def write_tum_trajectory(path: str, timestamps, poses_c_w: np.ndarray):
     """TUM format: ``timestamp tx ty tz qx qy qz qw`` of camera-to-world
     (inverted from the engine's world-to-camera), matching

@@ -321,6 +321,11 @@ class FullSystem:
         # KF decisions suppressed because one KF was already in flight
         # (work-shedding; reference: needNewKFAfter keeps ONE pending KF)
         self.kf_suppressed = 0
+        # (fid, delta) of the frame that last TRIGGERED a keyframe —
+        # lets lagging stale-ref votes be re-evaluated as
+        # delta − trigger_delta (see _process_tracked)
+        self._kf_trigger_fid = -1
+        self._kf_trigger_delta = 0.0
         self._pending: collections.deque = collections.deque()
         # adaptive activation spacing (reference: currentMinActDist)
         self._min_act_dist = cfg.selector.min_act_dist
@@ -589,10 +594,49 @@ class FullSystem:
         st = None
         while self._pending and self._entry_due(self._pending[0],
                                                 cap=max_batches):
-            st = self._process_entry(self._pending.popleft())
-            if st.get("status") == "lost":
+            if not self._entry_ready(self._pending[0]):
+                st = self._drain_stacked()     # one pull, whole backlog
+            else:
+                st = self._process_entry(self._pending.popleft())
+            if st and st.get("status") == "lost":
                 return st
         return st or dict(status="pending", frame_id=meta[-1][0])
+
+    def _drain_stacked(self) -> dict:
+        """Read EVERY pending tracking result with ONE device→host
+        transfer (the diags are stacked by one small device program
+        first). Taken when the oldest entry ages past MAX_DEFER_S with
+        its async copies still in flight — a degraded tunnel (150-350 ms
+        RTT) leaves copies unlanded for whole pipeline windows, and
+        pulling entries one blocking read at a time put one RTT PER
+        FRAME on the tracking path (measured 3-18 fps floors)."""
+        entries = list(self._pending)
+        self._pending.clear()
+        parts = [(e[1][3].diag[None, :] if e[0] == "single" else e[2].diags)
+                 for e in entries]
+        diags = np.asarray(jnp.concatenate(parts, axis=0))
+        st, row = None, 0
+        for e in entries:
+            if e[0] == "single":
+                fid, ts, expo, out, ref_kf_id, T_ref_np, ref_ver = e[1]
+                st = self._process_tracked(fid, ts, expo, out, ref_kf_id,
+                                           T_ref_np, diag=diags[row],
+                                           ref_version=ref_ver)
+                row += 1
+            else:
+                _, meta, out, ref_kf_id, T_ref_np, ref_ver = e[:6]
+                for i, (fid, ts, expo, _img) in enumerate(meta):
+                    st = self._process_tracked(fid, ts, expo, out,
+                                               ref_kf_id, T_ref_np,
+                                               diag=diags[row + i],
+                                               batch_idx=i,
+                                               ref_version=ref_ver)
+                    if st.get("status") == "lost":
+                        return st
+                row += len(meta)
+            if st and st.get("status") == "lost":
+                return st
+        return st
 
     def _process_entry(self, entry) -> dict:
         if entry[0] == "single":
@@ -665,8 +709,16 @@ class FullSystem:
             if self._async_copy_ok:
                 st = None
                 while self._pending and self._entry_due(self._pending[0]):
-                    st = self._process_entry(self._pending.popleft())
-                    if st.get("status") == "lost":
+                    if not self._entry_ready(self._pending[0]):
+                        # due by AGE, copies not landed (degraded
+                        # tunnel): ONE stacked pull for the whole
+                        # backlog — per-entry blocking reads cost a
+                        # full RTT each and were the fps floor in
+                        # degraded tunnel states
+                        st = self._drain_stacked()
+                    else:
+                        st = self._process_entry(self._pending.popleft())
+                    if st and st.get("status") == "lost":
                         return st
                 return st or dict(status="pending", frame_id=fid)
             if len(self._pending) > self.pipeline_depth:
@@ -798,16 +850,30 @@ class FullSystem:
         flow = diag[frame_step.DIAG_FLOW_T:frame_step.DIAG_FLOW_R + 1]
         delta = float(diag[frame_step.DIAG_KF_DELTA])
         need_kf = delta > 1.0 or 2.0 * self.first_coarse_rmse < rmse0
-        # stale-decision filter: this frame's flow/delta was measured
-        # against a ref that has since been REPLACED — its KF vote is
-        # about the old ref and would re-trigger a KF right after every
-        # swap (measured: 52 vs 12 KFs over 100 frames without this).
-        # Decisions restart with the first frame tracked on the new ref
+        # stale-decision handling: this frame's flow/delta was measured
+        # against a ref that has since been REPLACED — taken at face
+        # value its KF vote would re-trigger a KF right after every swap
+        # (measured: 52 vs 12 KFs over 100 frames). Round 4 DISCARDED
+        # such votes outright, but on the remote tunnel the readback lag
+        # spans several frames: every vote in that window died, KF
+        # cadence collapsed to ~1 per 2 RTTs, and ref staleness (=
+        # accuracy) grew with it. Instead, RE-EVALUATE the vote relative
+        # to the frame that triggered the last KF: both deltas were
+        # measured against the SAME old ref, so their difference
+        # approximates the motion accumulated since the new keyframe
         # (reference analog: after makeKeyFrame the tracker decides on
-        # new-ref frames only — its decision lag is ~1 frame).
-        if need_kf and ref_version is not None \
-                and ref_version != self._ref_version:
-            need_kf = False
+        # new-ref frames — this reconstructs that decision through lag).
+        eff_delta = delta
+        if ref_version is not None and ref_version != self._ref_version:
+            # staleness RELATIVE to the newest keyframe, reconstructed
+            # through the lag (see comment above) — used both for the
+            # re-evaluated vote and for the shedding gate below (raw
+            # delta keeps growing against the dead ref and would trip
+            # the too_stale wait on every frame of a lag window)
+            eff_delta = (delta - self._kf_trigger_delta
+                         if fid > self._kf_trigger_fid else 0.0)
+            if need_kf:
+                need_kf = eff_delta > 1.0
         # only one keyframe may be in flight (reference: needNewKFAfter —
         # the mapping thread works off ONE pending KF; meanwhile tracked
         # frames keep using the old ref without re-flagging)
@@ -819,7 +885,7 @@ class FullSystem:
             # shedding on it directly, so ref staleness is bounded in
             # SCENE units, not frame counts (a frame-count cap sheds
             # unboundedly more motion the faster the input runs)
-            too_stale = delta > cfg.tracker.max_stale_delta \
+            too_stale = eff_delta > cfg.tracker.max_stale_delta \
                 or (max_sup > 0 and self._kf_want_streak >= max_sup)
             if too_stale:
                 # quality floor: wait for the in-flight KF instead of
@@ -828,10 +894,13 @@ class FullSystem:
                 # dial between that and free shedding)
                 with self._map_cv:
                     self._map_cv.wait_for(
-                        lambda: self._kf_inflight == 0, timeout=10.0)
+                        lambda: self._kf_inflight == 0, timeout=1.2)
             if self._kf_inflight > 0:
                 need_kf = False
                 self.kf_suppressed += 1
+        if need_kf:
+            self._kf_trigger_fid = fid
+            self._kf_trigger_delta = delta
         if need_kf and self._async:
             # increment under _map_cv: the mapping thread's decrement is
             # lock-protected, and a lost update here would leave

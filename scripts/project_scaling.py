@@ -9,9 +9,10 @@ Writes benchmarks/SCALING_r04.json with the projection table and every
 assumption.
 
 Communication counts (exact, from the implementations):
-  * distributed BA (distributed/sharded_ba.py): ONE psum of the reduced
-    camera system per GN iteration: (D² + D + extras) with D = 8F+4.
-    Payload counted from the source: H [D,D] + b [D] + energy scalars.
+  * distributed BA (distributed/sharded_ba.py): ONE psum of D² + 2D + 1 floats
+    per GN iteration (D = 8F+4): the combined camera system Σ(H − H_sc),
+    diag(ΣH) (needed separately for damping order), Σ(b − b_sc), energy.
+    Cross-checked against the compiled StableHLO collectives below.
   * block PGO (distributed/sharded_pgo.py make_block_pgo): per CG
     iteration one halo all_gather [n,H,7] + one all_to_all [n,H,7] + 2
     scalar psums; per LM iteration one pose-halo gather [n,H,16], one
@@ -67,7 +68,7 @@ def ba_projection(hosts, chips_per_host=4):
     """Distributed BA: points sharded over all chips; ONE psum of the
     (D²+2D+2)-float camera system per GN iteration. Within a host the
     psum rides ICI; across hosts the partial sums cross DCN once."""
-    payload = (D * D + 2 * D + 2) * BYTES
+    payload = (D * D + 2 * D + 1) * BYTES
     rows = []
     for n_h in hosts:
         chips = n_h * chips_per_host
@@ -172,14 +173,46 @@ def hlo_collectives(lowered_text: str):
     out = []
     for op in ("all_reduce", "all_gather", "all_to_all",
                "collective_permute", "reduce_scatter"):
-        for m in re.finditer(
-                rf'"?stablehlo\.{op}"?.*?:\s*(?:\(([^)]*)\)|(tensor<[^>]*>))'
-                r"\s*->\s*(?:\(([^)]*)\)|(tensor<[^>]*>))",
-                lowered_text):
-            in_tys = re.findall(r"tensor<[^>]*>", m.group(1) or m.group(2))
-            out.append(dict(op=op,
-                            bytes=sum(_tensor_bytes(t) for t in in_tys),
-                            operands=in_tys))
+        start = 0
+        needle = f"stablehlo.{op}"
+        while True:
+            i = lowered_text.find(needle, start)
+            if i < 0:
+                break
+            # scan past an optional reduction-body block `({ ... })`
+            # (all_reduce/reduce_scatter carry one; its inner ops have
+            # their own `: tensor<...>` annotations that a lazy regex
+            # would mistake for the collective's type signature)
+            j = None
+            body = lowered_text.find("({", i, i + 400)
+            if body >= 0:
+                depth_n = 0
+                k = body
+                while k < len(lowered_text):
+                    if lowered_text.startswith("({", k):
+                        depth_n += 1
+                        k += 2
+                    elif lowered_text.startswith("})", k):
+                        depth_n -= 1
+                        k += 2
+                        if depth_n == 0:
+                            break
+                    else:
+                        k += 1
+                j = k
+            if j is not None:       # body op: type follows the `})`
+                m = re.match(r'\s*:\s*(\([^)]*\)|tensor<[^>]*>)\s*->',
+                             lowered_text[j:j + 2000], re.S)
+            else:                   # single-line op: type before `->`
+                eol = lowered_text.find("\n", i)
+                m = re.search(r':\s*(\([^()]*\)|tensor<[^>]*>)\s*->',
+                              lowered_text[i:eol if eol > 0 else i + 2000])
+            if m:
+                in_tys = re.findall(r"tensor<[^>]*>", m.group(1))
+                out.append(dict(op=op,
+                                bytes=sum(_tensor_bytes(t) for t in in_tys),
+                                operands=in_tys))
+            start = i + len(needle)
     return out
 
 
@@ -198,12 +231,16 @@ def crosscheck_ba_psum():
                                    idepth_noise=0.05, pose_noise=0.003)
     win = sharded_ba.shard_window(win, mesh)
     step = sharded_ba.make_distributed_ba_step(mesh, cfg)
-    HM = np.zeros((D, D), np.float32)
-    bM = np.zeros(D, np.float32)
-    txt = jax.jit(step).lower(win, HM, bM).as_text()
+    from ldso_tpu.ba.solve import prior_diag
+    HM = jnp.zeros((D, D), jnp.float32)
+    bM = jnp.zeros(D, jnp.float32)
+    prior_d = jnp.asarray(prior_diag(np.asarray(win.frame_valid), cfg),
+                          jnp.float32)
+    txt = step.jitted.lower(win, HM, bM, prior_d,
+                            jnp.float32(1e-5)).as_text()
     colls = hlo_collectives(txt)
     ar_bytes = sum(c["bytes"] for c in colls if c["op"] == "all_reduce")
-    counted = (D * D + 2 * D + 2) * BYTES
+    counted = (D * D + 2 * D + 1) * BYTES
     return dict(
         hlo_all_reduce_ops=len([c for c in colls
                                 if c["op"] == "all_reduce"]),
