@@ -69,11 +69,15 @@ def drift_per_distance(
 ) -> dict:
     """Relative drift as % of distance travelled, per segment length
     (the KITTI odometry t_rel metric's monocular analog; VERDICT r4 #7:
-    ATE alone hides WHERE the error accumulates). For each segment
-    length L (a fraction of total path length), every window of arc
-    length ~L is independently Sim(3)-aligned on its endpoints'
-    neighborhood and the end-point error is expressed as % of L.
+    ATE alone hides WHERE the error accumulates). The whole trajectory
+    is Sim(3)-aligned ONCE (per-segment re-alignment is degenerate on
+    short near-straight windows); for each segment length L the metric
+    is the growth of the alignment residual across the segment,
+    ‖err(end) − err(start)‖ / L, medianed over 12 windows.
     Returns {frac: median_drift_pct}."""
+    s, R, t = umeyama(est_positions, gt_positions)
+    aligned = (s * (R @ est_positions.T)).T + t
+    err_vec = aligned - gt_positions
     gt_d = np.concatenate([[0.0], np.cumsum(
         np.linalg.norm(np.diff(gt_positions, axis=0), axis=1))])
     total = gt_d[-1]
@@ -84,19 +88,13 @@ def drift_per_distance(
             out[frac] = float("nan")
             continue
         errs = []
-        starts = np.linspace(0, total - L, 12)
-        for s0 in starts:
+        for s0 in np.linspace(0, total - L, 12):
             i0 = int(np.searchsorted(gt_d, s0))
-            i1 = int(np.searchsorted(gt_d, s0 + L))
-            if i1 - i0 < 5 or i1 >= len(gt_positions):
+            i1 = min(int(np.searchsorted(gt_d, s0 + L)),
+                     len(gt_positions) - 1)
+            if i1 - i0 < 3:
                 continue
-            # align on the window's FIRST half, measure at the end —
-            # error grown over the unaligned half ≈ drift over L/2
-            mid = i0 + max((i1 - i0) // 2, 3)
-            s, R, t = umeyama(est_positions[i0:mid], gt_positions[i0:mid])
-            end_est = s * R @ est_positions[i1] + t
-            errs.append(np.linalg.norm(end_est - gt_positions[i1])
-                        / max(L / 2, 1e-9))
+            errs.append(np.linalg.norm(err_vec[i1] - err_vec[i0]) / L)
         out[frac] = round(100.0 * float(np.median(errs)), 3) if errs \
             else float("nan")
     return out

@@ -321,6 +321,7 @@ class FullSystem:
         # KF decisions suppressed because one KF was already in flight
         # (work-shedding; reference: needNewKFAfter keeps ONE pending KF)
         self.kf_suppressed = 0
+        self.kf_shed_events = 0
         # (fid, delta) of the frame that last TRIGGERED a keyframe —
         # lets lagging stale-ref votes be re-evaluated as
         # delta − trigger_delta (see _process_tracked)
@@ -898,6 +899,12 @@ class FullSystem:
             if self._kf_inflight > 0:
                 need_kf = False
                 self.kf_suppressed += 1
+                # distinct shed EVENTS (want-windows), not want-frames:
+                # re-evaluated votes re-fire every frame of a readback
+                # lag window, so the raw count inflates with tunnel
+                # latency; one window ~ one wanted-but-deferred keyframe
+                if self._kf_want_streak == 1:
+                    self.kf_shed_events += 1
         if need_kf:
             self._kf_trigger_fid = fid
             self._kf_trigger_delta = delta
