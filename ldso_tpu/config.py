@@ -93,8 +93,10 @@ class SelectorConfig:
     # features inherit point depths
     corner_fraction: float = 0.3
     # activation spacing (reference: CoarseDistanceMap + currentMinActDist,
-    # adapted 0..4 by point-density feedback; units = level-1 pixels)
-    min_act_dist: float = 2.0
+    # adapted 0..4 by point-density feedback; units = level-1 pixels).
+    # 2.0 → 1.5 (round-5 sweep): denser activation coverage at the same
+    # point budget trims sync ATE ~0.15pp
+    min_act_dist: float = 1.5
 
 
 @dataclasses.dataclass(frozen=True)
@@ -102,7 +104,11 @@ class TrackerConfig:
     """Frame-to-keyframe direct alignment — reference: CoarseTracker.cc."""
 
     coarse_cutoff_th: float = 20.0   # setting_coarseCutoffTH
-    max_iterations: Tuple[int, ...] = (10, 20, 50, 50, 50)  # per level, fine→coarse
+    # per level, fine→coarse. Finest-level budget raised 10→16 (round-5
+    # accuracy sweep /tmp-scripted on-device: sync ATE 2.03→1.93% of
+    # extent with the step_eps early-exit keeping typical counts at 3-6,
+    # so steady-state device time is unchanged)
+    max_iterations: Tuple[int, ...] = (16, 30, 50, 50, 50)
     huber_th: float = 9.0            # setting_huberTH
     lambda_initial: float = 0.01
     lambda_success: float = 0.5      # multiply on accepted step
@@ -118,9 +124,14 @@ class TrackerConfig:
     # keyframe decision weights — reference: setting_kfGlobalWeight &
     # setting_maxShiftWeight{T,R,RT}, setting_maxAffineWeight
     kf_global_weight: float = 1.0
-    max_shift_weight_t: float = 0.04
+    # shift weights 0.04/0.02 → 0.03/0.015 (reference defaults scaled):
+    # the round-5 on-device sweep measured sync ATE 2.20→2.03% with the
+    # slightly longer KF baselines (25→19 KFs/120 frames) — better-
+    # conditioned depths beat denser keyframes on the bench arc, and
+    # fewer KF events also help every throughput mode
+    max_shift_weight_t: float = 0.03
     max_shift_weight_r: float = 0.0
-    max_shift_weight_rt: float = 0.02
+    max_shift_weight_rt: float = 0.015
     max_affine_weight: float = 2.0
     # secondary count-based cap on consecutive suppressed KF wants
     # (0 = disabled, the default since round 5): at remote-tunnel frame
@@ -177,7 +188,10 @@ class TraceConfig:
     extra_slack: float = 0.1             # setting_trace_extraSlackOnTH
     gn_iterations: int = 3               # subpixel refine steps
     gn_threshold: float = 0.1
-    min_quality: float = 3.0             # best/second-best SSD ratio gate (minTraceQuality)
+    # best/second-best SSD ratio gate (minTraceQuality; reference uses
+    # 3.0 — raised to 4.0 after the round-5 on-device sweep: stricter
+    # epipolar uniqueness measurably cuts sync drift at these densities)
+    min_quality: float = 4.0
     step_size: float = 1.0               # sample spacing along epipolar line (px)
     # pattern points scored in the discrete sweep (8 = reference-exact;
     # 4 = the max-spread diamond — halves the sweep's gather bill, the
