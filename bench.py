@@ -198,12 +198,14 @@ def bench_tracked_frames(n_warm: int = 30, n_timed: int = 120):
     # ms, and a whole timed pass can land in the bad mode)
     pipe = _dbg("pipe", drive(True, 16, timed_passes=3))
     # frame-batched dispatch: B frames per fused program — divides the
-    # round-trip-bound dispatch cost by B (frame_step.fused_batch) —
-    # under the realtime preset (trace stride 2, the reference
-    # preset=1's shed-work-to-hold-rate semantics)
-    batched = _dbg("batched", drive(True, 16, batch=4,
-                                cfg_=preset("realtime"),
-                                timed_passes=2))
+    # round-trip-bound dispatch cost by B (frame_step.fused_batch).
+    # depth 4 (= ONE batch in flight), not 16: free-run fills whatever
+    # pipeline it is given, and the filled pipeline IS the KF-decision
+    # staleness — measured on-device, B=4 free-run ATE 27.9% at depth
+    # 16, 12.2% at 8, 7.8% at 4 (same tunnel window). The shallower
+    # pipeline caps tunnel-stall absorption, but an unqualified fps is
+    # worthless under the ATE-bounded headline.
+    batched = _dbg("batched", drive(True, 4, batch=4, timed_passes=2))
     # accuracy at the reference's own operating condition: the pipelined
     # engine fed at 30 fps sensor pacing (the realtime condition the
     # 30 fps CPU baseline runs at). Robust to tunnel-latency state —
