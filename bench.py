@@ -185,6 +185,12 @@ def bench_tracked_frames(n_warm: int = 30, n_timed: int = 120):
 
     import os as _os
     dbg = _os.environ.get("LDSO_BENCH_DEBUG")
+    t_bench0 = time.perf_counter()
+    # soft budget for the OPTIONAL ladder rungs: in a badly degraded
+    # tunnel a full pass can take minutes each; the bench must always
+    # reach its deliverables (headline modes, loop pair, BA metric)
+    # within the driver's patience
+    budget_s = float(_os.environ.get("LDSO_BENCH_BUDGET_S", "1200"))
 
     def _dbg(name, d):
         if dbg:
@@ -229,10 +235,13 @@ def bench_tracked_frames(n_warm: int = 30, n_timed: int = 120):
     # result — and unlike free-run it keeps pipeline slack, so KF
     # decisions stay fresh (free-run keeps the pipeline full and turns
     # the tunnel RTT into maximal decision staleness).
-    ladder = {f"paced{r}": _dbg(f"paced{r}",
-                                _timed_pass(True, 16, 1, None,
-                                            period=1.0 / r))
-              for r in (60, 90, 120)}
+    ladder = {}
+    for r in (60, 90, 120):
+        if time.perf_counter() - t_bench0 > budget_s:
+            break                      # optional rungs yield to the budget
+        ladder[f"paced{r}"] = _dbg(f"paced{r}",
+                                   _timed_pass(True, 16, 1, None,
+                                               period=1.0 / r))
 
     # HEADLINE = fastest mode subject to an ATE bound (VERDICT r4 #2):
     # a throughput number divorced from trajectory quality is not a SLAM
