@@ -665,6 +665,9 @@ class FullSystem:
             ref_version = self._ref_version
             bank = self.bank
             bank_version = self._bank_version
+            # window fields for the fused trace (async: the mapping
+            # thread swaps self.win — capture a consistent pytree)
+            win_snap = self.win
 
         # re-express in-flight prediction carries on a ref swap (the old
         # per-KF _drain_pending() flushed the whole pipeline and paid
@@ -674,18 +677,21 @@ class FullSystem:
         self._reexpress_carries(T_ref_np, ref_version, T_ref_dev)
 
         ab0 = jnp.asarray(self.last_rel_ab, jnp.float32)
-        if self.pipeline_depth > 0:
-            out = frame_step.track_step(
-                jnp.asarray(img), ref, self._T_last_rel,
-                self._T_prelast_rel, ab0, self.intr_j,
-                jnp.float32(exposure), cfg)
-        else:
-            out = frame_step.fused_step(
-                jnp.asarray(img), ref, self._T_last_rel,
-                self._T_prelast_rel, ab0, bank, self.win.T_eval,
-                self.win.x, self.win.exposure, T_ref_dev,
-                self.intr_j, jnp.float32(exposure), cfg)
-            self._commit_traced_bank(out.bank, bank_version)
+        # BOTH paths use the fused track+trace program since round 5:
+        # the pipelined mode used to dispatch track_step here and a
+        # separate trace_step per non-KF frame on the mapping thread —
+        # one extra device dispatch per frame, and on the axon tunnel a
+        # process that has ever read a result back pays ~4.2 ms PER
+        # DISPATCH (see benchmarks/ROOFLINE.md round-5 correction), so
+        # the extra dispatch was ~30% of the whole per-frame budget.
+        # Fusing also traces EVERY frame (the mapping thread used to
+        # shed trace tasks under backlog).
+        out = frame_step.fused_step(
+            jnp.asarray(img), ref, self._T_last_rel,
+            self._T_prelast_rel, ab0, bank, win_snap.T_eval,
+            win_snap.x, win_snap.exposure, T_ref_dev,
+            self.intr_j, jnp.float32(exposure), cfg)
+        self._commit_traced_bank(out.bank, bank_version)
         self._T_prelast_rel = self._T_last_rel
         self._T_last_rel = out.T
 
@@ -939,10 +945,11 @@ class FullSystem:
                     self._deliver_tracked_frame(task)
                 else:
                     self._map_frame(task)
-        else:
-            traced = self.pipeline_depth == 0     # fused_step already traced
+        elif need_kf:
+            # fused_step traced this frame in-dispatch; non-KF frames
+            # have no mapping work left — only keyframes are delivered
             task = _MapTask(fid, ts, exposure, out.pyr, T_cw, (a_abs, b_abs),
-                            bool(need_kf), self.frames[-1], status, traced)
+                            True, self.frames[-1], status, traced=True)
             if self._async:
                 self._deliver_tracked_frame(task)
             else:

@@ -164,8 +164,15 @@ def main(which):
         val = jnp.ones(n, bool)
         return tracker.make_tracker_ref(uv, idep, col, val, L)
 
-    intr = jnp.asarray([0.88 * w, 0.88 * w, w / 2 - 0.5, h / 2 - 0.5],
-                       jnp.float32)
+    # keep a HOST copy of the intrinsics: np.asarray(<device array>) is a
+    # SYNCHRONOUS d2h, and ONE of those permanently pins the axon tunnel
+    # into synchronous per-dispatch mode for the rest of the process —
+    # every later kernel then measures ~4 ms of pinned-link dispatch
+    # cost instead of its real device time (round-5 finding: trace_step
+    # "4.4 ms / latency-bound" was EXACTLY this; it is ~0.1 ms unpinned)
+    intr_host = np.asarray([0.88 * w, 0.88 * w, w / 2 - 0.5, h / 2 - 0.5],
+                           np.float32)
+    intr = jnp.asarray(intr_host)
     eye = jnp.eye(4, dtype=jnp.float32)
 
     def make_bank():
@@ -182,7 +189,7 @@ def main(which):
 
     if "track_step" in which or "fused_step" in which or "trace_step" in which:
         from ldso_tpu.core import window as win_mod
-        win = win_mod.empty_window(cfg, h, w, np.asarray(intr))
+        win = win_mod.empty_window(cfg, h, w, intr_host)
         ref = make_ref()
         bank = make_bank()
         ab0 = jnp.zeros(2, jnp.float32)
@@ -213,8 +220,10 @@ def main(which):
                                        idepth_noise=0.05, pose_noise=0.003)
         F = cfg.shapes.max_frames
         D = cfg.shapes.state_dim
-        prior_d = jnp.asarray(prior_diag(np.asarray(win.frame_valid), cfg),
-                              jnp.float32)
+        # frame_valid is known host-side (n_frames=6) — np.asarray on the
+        # device array would pin the tunnel (see intr_host note above)
+        valid_host = np.arange(F) < 6
+        prior_d = jnp.asarray(prior_diag(valid_host, cfg), jnp.float32)
         s_vec = jnp.asarray(scale_vector(F, cfg.scales))
         fixed = jnp.asarray(fix_mask(F, 0))
         HM = jnp.zeros((D, D), jnp.float32)
