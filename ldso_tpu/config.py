@@ -140,6 +140,13 @@ class TrackerConfig:
     # scene-unit staleness bound below is the quality floor
     # (VERDICT r4 #2).
     max_kf_suppress: int = 0
+    # keyframes allowed in flight (queued/building) before wants are
+    # suppressed (reference: needNewKFAfter keeps ONE pending KF).
+    # The round-5 deferred-finish builds tolerate 2-3 structurally
+    # (spare window slots absorb them); a probe of cap=2 in a severely
+    # degraded tunnel window showed more KFs built but no measurable
+    # ATE gain over shedding, so the reference's 1 stays the default.
+    max_kf_inflight: int = 1
     # staleness bound on KF shedding (VERDICT r4 #2): a wanted keyframe
     # may be suppressed only while the tracked frame's KF-decision score
     # (delta — flow+affine change integrated against the CURRENT ref,

@@ -881,10 +881,12 @@ class FullSystem:
                          if fid > self._kf_trigger_fid else 0.0)
             if need_kf:
                 need_kf = eff_delta > 1.0
-        # only one keyframe may be in flight (reference: needNewKFAfter —
-        # the mapping thread works off ONE pending KF; meanwhile tracked
-        # frames keep using the old ref without re-flagging)
-        if need_kf and self._async and self._kf_inflight > 0:
+        # bounded keyframes in flight (reference: needNewKFAfter keeps
+        # ONE pending KF; round 5 allows cfg.tracker.max_kf_inflight —
+        # the deferred-finish builds tolerate it and a second in-flight
+        # KF beats shedding when one build spans many frames)
+        max_inflight = max(int(cfg.tracker.max_kf_inflight), 1)
+        if need_kf and self._async and self._kf_inflight >= max_inflight:
             self._kf_want_streak += 1
             max_sup = cfg.tracker.max_kf_suppress
             # staleness bound (VERDICT r4 #2): delta IS the integrated
@@ -901,8 +903,9 @@ class FullSystem:
                 # dial between that and free shedding)
                 with self._map_cv:
                     self._map_cv.wait_for(
-                        lambda: self._kf_inflight == 0, timeout=1.2)
-            if self._kf_inflight > 0:
+                        lambda: self._kf_inflight < max_inflight,
+                        timeout=1.2)
+            if self._kf_inflight >= max_inflight:
                 need_kf = False
                 self.kf_suppressed += 1
                 # distinct shed EVENTS (want-windows), not want-frames:
